@@ -1,0 +1,81 @@
+"""Benchmark: label-propagation throughput (frames/sec/chip) on the DAVIS
+eval workload.
+
+Measures the end-to-end hot path of TAP-Vid-DAVIS inference — ResNet-18-d1
+feature extraction + per-frame top-k masked-attention propagation at the
+reference's exact settings (256×256 input, stride-2 features, key window =
+first frame + 5 preceding, topk=10, temperature=0.07, neighbor_range=30;
+/root/reference/configs/eval/res18_d1_eval.py:12) on a synthetic DAVIS-shaped
+video.
+
+Baseline: the reference publishes no throughput (README only notes 4×A100-80G
+and the `step` memory/speed dial).  We estimate the reference GPU hot loop at
+~20 propagated frames/sec/A100: 6 key frames × (16384×16384×256) f32 einsum
+≈ 412 GFLOP/frame plus top-k over 98k keys, at a realistic 8-10 TFLOP/s
+effective f32 → ≈50 ms/frame.  vs_baseline = our fps / 20.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 20.0
+
+
+def main():
+    from fgvc_tpu.config import DAVIS_TEST_CFG
+    from fgvc_tpu.models.resnet import init_resnet_params, resnet18_d1
+    from fgvc_tpu.models.tracker import Tracker
+
+    cfg = DAVIS_TEST_CFG
+    model = resnet18_d1()
+    variables = init_resnet_params(model, jax.random.PRNGKey(0), cfg.input_size)
+
+    tracker = Tracker(
+        lambda v, x: model.apply(v, x, train=False), variables, cfg
+    )
+
+    T, P = 64, 32  # DAVIS-like video length / point count
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal((T, *cfg.input_size, 3)).astype(np.float32)
+    query_points = np.concatenate(
+        [
+            np.zeros((P, 1), np.float32),
+            rng.uniform(16, 240, size=(P, 2)).astype(np.float32),
+        ],
+        axis=1,
+    )
+
+    # warmup (compile)
+    out = tracker.track_points(video, query_points)
+    jax.block_until_ready(jnp.zeros(()))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = tracker.track_points(video, query_points)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    fps = (T - 1) / dt
+
+    assert np.all(np.isfinite(out["trajectories"])), "non-finite trajectories"
+
+    print(
+        json.dumps(
+            {
+                "metric": "davis_propagation_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

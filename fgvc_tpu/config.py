@@ -1,0 +1,80 @@
+"""Dataclass configuration for fgvc_tpu.
+
+Replaces the reference's mmcv Config/registry system
+(/root/reference/tools/test.py:135, configs/eval/res18_d1_eval.py) with plain
+typed dataclasses.  Field names mirror the reference's ``test_cfg`` knobs so a
+user of the reference finds the same dials.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """Mirror of the reference ResNet backbone dict."""
+
+    depth: int = 18
+    strides: Sequence[int] = (1, 1, 1, 4)
+    out_indices: Sequence[int] = (2,)
+    pool_type: str = "none"
+    in_channels: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class TestConfig:
+    """Mirror of test_cfg_* (/root/reference/configs/eval/res18_d1_eval.py:12).
+
+    ``step`` remains the memory/speed dial of the chunked attention;
+    ``neighbor_range`` is the full diameter (radius = neighbor_range // 2).
+    """
+
+    precede_frames: int = 5
+    topk: int = 10
+    temperature: float = 0.07
+    neighbor_range: int = 30
+    step: int = 512
+    with_first: bool = True
+    with_first_neighbor: bool = True
+    with_norm: bool = True
+    sigma: float = 6.0  # gaussian query heatmap std-dev (full-res pixels)
+    input_size: Tuple[int, int] = (256, 256)  # (H, W) network input
+    # Static-shape bucketing (TPU): videos/points are padded up to multiples.
+    frame_bucket: int = 32
+    point_bucket: int = 32
+
+
+DAVIS_TEST_CFG = TestConfig(step=512)
+KINETICS_TEST_CFG = TestConfig(step=128)
+JHMDB_TEST_CFG = TestConfig(step=128, input_size=(320, 320))
+BADJA_TEST_CFG = TestConfig(step=128)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirror of the mixed-training recipe
+    (/root/reference/configs/train/mixed_train_res18_d1_l2_rec_ytv_fly.py)."""
+
+    # model
+    radius: int = 24
+    downsample_rate: int = 2
+    scale: int = 2  # supervised-branch sampling stride on full-res flow
+    temperature_t: float = 0.07
+    rec_weight: float = 20.0  # smooth-l1 photometric scaling ('weight')
+    loss_weight_l1: float = 1.0
+    loss_weight_sup: float = 1.0
+    loss_weight_corr_da: float = 1.0
+    bilateral: bool = False
+    norm: bool = True
+    # optimization
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    max_epochs: int = 30
+    warmup_epochs: int = 10
+    warmup_ratio: float = 0.1
+    min_lr_ratio: float = 0.001
+    batch_size: int = 4  # global batch (reference: 1/GPU × 4 GPUs)
+    crop_size: int = 256
+    seed: int = 0

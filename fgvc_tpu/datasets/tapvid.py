@@ -1,0 +1,220 @@
+"""TAP-Vid dataset (DAVIS / Kinetics pickles) — reader, query sampling, eval.
+
+Mirrors the reference's TAPVidDataset protocol
+(/root/reference/mmpt/datasets/tapvid.py:37):
+
+  * each ``*.pkl`` shard holds one video: {'video': (T,H,W,3) uint8 or a list
+    of JPEG byte strings, 'points': (N,T,2) in [0,1], 'occluded': (N,T)},
+  * frames are resized to the network input size (cv2 bilinear, like
+    mmcv.imresize), points scaled to input pixels,
+  * query sampling 'first' (first visible frame of each track is the query)
+    or 'strided' (every 5th frame),
+  * the Kubric boundary-visibility fix on query points is applied,
+  * evaluation = per-point TAP-Vid summaries averaged over all points
+    (fgvc_tpu.core.metrics.tapvid).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from fgvc_tpu.core.metrics.tapvid import (
+    aggregate_summaries,
+    compute_point_summary,
+)
+
+
+def _decode_frames(video) -> np.ndarray:
+    if len(video) and isinstance(video[0], bytes):
+        from PIL import Image
+
+        return np.stack(
+            [np.array(Image.open(io.BytesIO(f))) for f in video], axis=0
+        )
+    return np.asarray(video)
+
+
+def _resize_video(video: np.ndarray, size_hw) -> np.ndarray:
+    import cv2
+
+    h, w = size_hw
+    if video.shape[1] == h and video.shape[2] == w:
+        return video
+    return np.stack(
+        [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in video],
+        axis=0,
+    )
+
+
+def sample_queries_first(occluded: np.ndarray, points: np.ndarray) -> Dict:
+    """Use each track's first visible frame as its query.
+
+    Args:
+      occluded: (N, T) bool, True = occluded.
+      points: (N, T, 2) (x, y).
+    Returns dict with query_points (M, 3) as (t, y, x) — TAP-Vid convention —
+    plus filtered target_points / occluded for the M valid tracks.
+    """
+    valid = (~occluded).sum(axis=1) > 0
+    points = points[valid]
+    occluded = occluded[valid]
+    queries = []
+    for i in range(points.shape[0]):
+        t = int(np.where(~occluded[i])[0][0])
+        x, y = points[i, t]
+        queries.append([t, y, x])
+    return {
+        "query_points": np.array(queries, dtype=np.float32),
+        "target_points": points,
+        "occluded": occluded,
+    }
+
+
+def sample_queries_strided(
+    occluded: np.ndarray, points: np.ndarray, stride: int = 5
+) -> Dict:
+    """Sample a query at every `stride` frames for each visibly-tracked point."""
+    n = occluded.shape[0]
+    queries, tracks, occs = [], [], []
+    for t in range(0, occluded.shape[1], stride):
+        mask = ~occluded[:, t]
+        q = np.stack(
+            [np.full(n, t, dtype=np.float32), points[:, t, 1], points[:, t, 0]],
+            axis=-1,
+        )
+        queries.append(q[mask])
+        tracks.append(points[mask])
+        occs.append(occluded[mask])
+    return {
+        "query_points": np.concatenate(queries, axis=0),
+        "target_points": np.concatenate(tracks, axis=0),
+        "occluded": np.concatenate(occs, axis=0),
+    }
+
+
+class TapVidDataset:
+    """Iterates per-video pickles and packages the forward_test inputs."""
+
+    def __init__(
+        self,
+        root: str,
+        subset_name: str = "davis",
+        query_mode: str = "first",
+        input_size=(256, 256),
+        eval_size=(256, 256),
+    ):
+        self.root = root
+        self.subset_name = subset_name
+        self.query_mode = query_mode
+        self.input_size = tuple(input_size)
+        self.eval_size = tuple(eval_size)
+        self.samples = sorted(glob.glob(os.path.join(root, "*.pkl")))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load_raw(self, idx: int) -> Dict:
+        with open(self.samples[idx], "rb") as f:
+            sample = pickle.load(f)
+        if isinstance(sample, dict) and len(sample) == 1:
+            # kinetics shards may nest {video_name: record}
+            (sample,) = sample.values()
+        return sample
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        sample = self.load_raw(idx)
+        video = _resize_video(_decode_frames(sample["video"]), self.input_size)
+        points = np.asarray(sample["points"], dtype=np.float32).copy()
+        occluded = np.asarray(sample["occluded"], dtype=bool)
+        # [0,1] -> input pixels
+        points[..., 0] *= self.input_size[1]
+        points[..., 1] *= self.input_size[0]
+
+        if self.query_mode == "first":
+            data = sample_queries_first(occluded, points)
+        else:
+            data = sample_queries_strided(occluded, points)
+
+        # (t, y, x) -> (t, x, y), reference convention for forward_test
+        qp = data["query_points"][:, [0, 2, 1]]
+        traj = np.transpose(data["target_points"], (1, 0, 2))  # (T, P, 2)
+        vis = ~np.transpose(data["occluded"], (1, 0))  # (T, P)
+
+        qp, vis = _fix_boundary_visibility(qp, vis, video.shape[1:3])
+
+        T, P = vis.shape
+        qt = qp[:, 0].astype(np.int64)
+        assert np.all(vis[qt, np.arange(P)]), "query points must be visible"
+        return {
+            "video": video,  # (T, H, W, 3) uint8
+            "query_points": qp.astype(np.float32),  # (P, 3) (t, x, y)
+            "trajectories": traj.astype(np.float32),  # (T, P, 2) input px
+            "visibilities": vis,  # (T, P) bool
+        }
+
+    # ------------------------------------------------------------------ #
+    def evaluate(
+        self,
+        results: List[Dict[str, np.ndarray]],
+        output_dir: Optional[str] = None,
+    ) -> Dict[str, float]:
+        """Aggregate per-video results into benchmark numbers.
+
+        Each result dict needs: trajectories_gt (T,P,2), visibilities_gt
+        (T,P), trajectories_pred (T,P,2), visibilities_pred (T,P),
+        query_points (P,3) — all in input pixels; rescaled to the TAP-Vid
+        256×256 raster before scoring (tapvid.py:239).
+        """
+        sy = self.eval_size[0] / self.input_size[0]
+        sx = self.eval_size[1] / self.input_size[1]
+        summaries = []
+        for res in results:
+            gt = res["trajectories_gt"] * np.array([sx, sy], np.float32)
+            pred = res["trajectories_pred"] * np.array([sx, sy], np.float32)
+            P = gt.shape[1]
+            for n in range(P):
+                summaries.append(
+                    compute_point_summary(
+                        gt[:, n],
+                        pred[:, n],
+                        res["visibilities_gt"][:, n],
+                        res["visibilities_pred"][:, n],
+                        res["query_points"][n],
+                        query_mode=self.query_mode,
+                    )
+                )
+        agg = aggregate_summaries(summaries)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            path = os.path.join(
+                output_dir, f"summaries{self.subset_name}.json"
+            )
+            with open(path, "w", encoding="utf8") as f:
+                json.dump(summaries, f)
+        return agg
+
+
+def _fix_boundary_visibility(query_points, visibilities, hw):
+    """Kubric reports query points invisible when exactly on the crop border;
+    mark them visible (reference tapvid.py:135-149)."""
+    h, w = hw
+    vis = visibilities.copy()
+    for n in range(query_points.shape[0]):
+        t = int(query_points[n, 0])
+        if vis[t, n]:
+            continue
+        x, y = query_points[n, 1:]
+        x_b = min(abs(x - 0), abs(x - (w - 1))) < 1e-3
+        y_b = min(abs(y - 0), abs(y - (h - 1))) < 1e-3
+        x_in = 0 <= x <= w - 1
+        y_in = 0 <= y <= h - 1
+        if (x_b and y_in) or (x_in and y_b):
+            vis[t, n] = True
+    return query_points, vis

@@ -1,0 +1,234 @@
+"""Top-k masked attention for label propagation — the framework's hot op.
+
+TPU-native re-design of the reference inference kernel
+``masked_attention_efficient`` (/root/reference/mmpt/models/common/local_attention.py:267)
+and its on-the-fly-mask variant ``_v2`` (:392):
+
+  query (H, W, C) attends over a bank of key frames (T, H, W, C); affinities
+  outside a spatial radius are masked; the top-k keys per query pixel are
+  softmaxed and used to propagate the value maps (T, H, W, Cv) to the query
+  frame.
+
+Differences from the reference implementation (semantics preserved):
+  * channels-last layout, fused L2-normalization,
+  * the HW×HW radius mask is never materialized — it is recomputed from
+    coordinates per query chunk (equivalent to 'circle' mode of
+    ``spatial_neighbor``, /root/reference/mmpt/models/common/affinity_utils.py:84),
+  * invalid (padded) key frames are handled with a validity mask so shapes
+    stay static under jit,
+  * the chunk loop is a `lax.scan`, so the full (T·H·W × H·W) affinity never
+    exists in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "l2_normalize",
+    "masked_topk_attention",
+    "non_local_attention",
+    "spatial_neighbor_mask",
+]
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2 normalization matching torch.nn.functional.normalize semantics."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def spatial_neighbor_mask(height: int, width: int, neighbor_range: int) -> jax.Array:
+    """(H*W, H*W) boolean circle mask: key pixel i is a neighbor of query pixel j.
+
+    Mirrors spatial_neighbor(mode='circle'): euclidean distance between grid
+    positions strictly less than neighbor_range // 2.  Kept for parity tests;
+    production paths compute the mask on the fly.
+    """
+    radius = neighbor_range // 2
+    ys = jnp.arange(height)
+    xs = jnp.arange(width)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    gy = gy.reshape(-1).astype(jnp.float32)
+    gx = gx.reshape(-1).astype(jnp.float32)
+    d = jnp.sqrt((gy[:, None] - gy[None, :]) ** 2 + (gx[:, None] - gx[None, :]) ** 2)
+    return d < radius
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "temperature",
+        "topk",
+        "radius",
+        "normalize",
+        "step",
+        "non_mask_len",
+        "mode",
+    ),
+)
+def masked_topk_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    *,
+    radius: Optional[float],
+    temperature: float = 1.0,
+    topk: Optional[int] = None,
+    normalize: bool = True,
+    step: int = 512,
+    non_mask_len: int = 0,
+    mode: str = "softmax",
+    key_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Spatial-radius-masked top-k attention propagation.
+
+    Args:
+      query: (H, W, C) query-frame features.
+      key:   (T, H, W, C) key-frame features.
+      value: (T, H, W, Cv) label maps to propagate.
+      radius: spatial radius (== neighbor_range // 2 of the reference); pixels
+        with euclidean grid distance >= radius are masked.  None disables the
+        spatial mask.
+      temperature: affinity temperature (divides logits).
+      topk: keep only the top-k keys per query pixel (None = all).
+      normalize: L2-normalize query/key channels first.
+      step: query-pixel chunk size (memory/speed dial, like the reference's).
+      non_mask_len: number of leading key frames exempt from the spatial mask.
+      mode: 'softmax' (weights = softmax) or 'cosine' (clamp(min=0)**2).
+      key_valid: optional (T,) bool — False frames contribute nothing
+        (used for static-shape sliding windows).
+
+    Returns:
+      (H, W, Cv) propagated value map.
+    """
+    if mode not in ("softmax", "cosine"):
+        raise ValueError(f"unknown mode {mode}")
+    H, W, C = query.shape
+    T = key.shape[0]
+    Cv = value.shape[-1]
+    HW = H * W
+
+    if normalize:
+        query = l2_normalize(query)
+        key = l2_normalize(key)
+
+    q = query.reshape(HW, C)
+    k = key.reshape(T * HW, C)
+    v = value.reshape(T * HW, Cv)
+
+    # Per-key-pixel additive bias: -inf for invalid frames.
+    ninf = jnp.float32(-jnp.inf)
+    if key_valid is not None:
+        frame_bias = jnp.where(key_valid, 0.0, ninf)  # (T,)
+    else:
+        frame_bias = jnp.zeros((T,), jnp.float32)
+
+    # Grid coordinates for the on-the-fly circle mask.
+    gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+
+    # frames exempt from the spatial mask (non_mask_len leading frames)
+    frame_exempt = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < non_mask_len
+    )  # (T, 1)
+
+    n_chunks = -(-HW // step)
+    pad = n_chunks * step - HW
+    q_p = jnp.pad(q, ((0, pad), (0, 0)))
+    gy_p = jnp.pad(gy, (0, pad))
+    gx_p = jnp.pad(gx, (0, pad))
+
+    def chunk_fn(_, idx):
+        q_c = jax.lax.dynamic_slice_in_dim(q_p, idx * step, step)  # (S, C)
+        qy = jax.lax.dynamic_slice_in_dim(gy_p, idx * step, step)
+        qx = jax.lax.dynamic_slice_in_dim(gx_p, idx * step, step)
+
+        # (S, T*HW) affinity
+        aff = jnp.einsum(
+            "sc,kc->sk",
+            q_c,
+            k,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / temperature
+
+        if radius is not None:
+            d2 = (qy[:, None] - gy[None, :]) ** 2 + (qx[:, None] - gx[None, :]) ** 2
+            in_circle = d2 < radius * radius  # (S, HW)
+            allowed = in_circle[:, None, :] | frame_exempt[None, :, :]  # (S,T,HW)
+            spatial_bias = jnp.where(allowed, 0.0, ninf)
+        else:
+            spatial_bias = jnp.zeros((step, T, HW), jnp.float32)
+        bias = spatial_bias + frame_bias[None, :, None]
+        aff = aff + bias.reshape(step, T * HW)
+
+        if topk is not None:
+            w, idxs = jax.lax.top_k(aff, topk)  # (S, k)
+            if mode == "softmax":
+                w = jax.nn.softmax(w, axis=-1)
+            else:
+                w = jnp.maximum(w, 0.0) ** 2
+            vals = v[idxs]  # (S, k, Cv)
+            out = jnp.einsum(
+                "sk,skc->sc",
+                w,
+                vals,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            if mode == "softmax":
+                w = jax.nn.softmax(aff, axis=-1)
+            else:
+                w = jnp.maximum(aff, 0.0) ** 2
+            out = jnp.einsum(
+                "sk,kc->sc",
+                w,
+                v,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return None, out
+
+    _, outs = jax.lax.scan(chunk_fn, None, jnp.arange(n_chunks))
+    out = outs.reshape(n_chunks * step, Cv)[:HW]
+    return out.reshape(H, W, Cv)
+
+
+def non_local_attention(
+    query: jax.Array,
+    key: jax.Array,
+    temperature: float = 1.0,
+    normalize: bool = True,
+    softmax_axis: int = -1,
+) -> jax.Array:
+    """Global frame-pair affinity for correspondence demos.
+
+    Equivalent of non_local_attention (/root/reference/mmpt/models/common/
+    correlation.py:32) restricted to what the demo path uses: affinity
+    softmax(q·k / t) between a query frame (H, W, C) and key frames
+    (T, H, W, C).  Returns (H*W, T*H*W) affinity.
+    """
+    H, W, C = query.shape
+    if key.ndim == 3:
+        key = key[None]
+    T = key.shape[0]
+    if normalize:
+        query = l2_normalize(query)
+        key = l2_normalize(key)
+    aff = (
+        jnp.einsum(
+            "ic,kc->ik",
+            query.reshape(-1, C),
+            key.reshape(-1, C),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        / temperature
+    )
+    return jax.nn.softmax(aff, axis=softmax_axis)

@@ -1,0 +1,82 @@
+"""RGB→CIE-Lab conversion and normalization, matching OpenCV float semantics.
+
+The reference preprocesses every frame with
+``cv2.cvtColor(np.float32(img) / 255, cv2.COLOR_RGB2Lab)`` followed by
+mean/std normalization (RGB2LAB + Normalize pipeline steps,
+/root/reference/mmpt/datasets/pipelines/augmentation.py:1372).  OpenCV's
+float32 path applies NO sRGB gamma decoding: it maps linear-RGB-as-given
+through the D65 XYZ matrix and the CIE f(t) curve.  We reproduce that exactly
+so features match the reference bit-for-bit (verified against cv2 in tests).
+
+Jittable; operates on channels-last float arrays scaled to [0, 1].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# D65 reference white, OpenCV constants.
+_XN = 0.950456
+_ZN = 1.088754
+
+# RGB -> XYZ (linear, D65), rows = X, Y, Z.
+_RGB2XYZ = jnp.array(
+    [
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
+    ],
+    dtype=jnp.float32,
+)
+
+
+def _f(t: jax.Array) -> jax.Array:
+    """CIE Lab forward curve: cube root above the knee, linear below."""
+    return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+
+def _srgb_to_linear(c: jax.Array) -> jax.Array:
+    """sRGB companding inverse — cv2's float path applies this (verified
+    empirically against cv2 5.0; tests/test_ops.py)."""
+    return jnp.where(
+        c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92
+    )
+
+
+def rgb_to_lab(rgb: jax.Array) -> jax.Array:
+    """Convert (..., 3) sRGB in [0, 1] to Lab (L in [0,100], a/b ~ [-127,127]).
+
+    Matches cv2.cvtColor(float32, COLOR_RGB2Lab), including the sRGB
+    linearization cv2 applies before the XYZ matrix.
+    """
+    rgb = _srgb_to_linear(rgb)
+    xyz = jnp.einsum("...c,dc->...d", rgb, _RGB2XYZ)
+    x = _f(xyz[..., 0] / _XN)
+    y = xyz[..., 1]
+    fy = _f(y)
+    z = _f(xyz[..., 2] / _ZN)
+    big_l = jnp.where(y > 0.008856, 116.0 * jnp.cbrt(y) - 16.0, 903.3 * y)
+    a = 500.0 * (x - fy)
+    b = 200.0 * (fy - z)
+    return jnp.stack([big_l, a, b], axis=-1)
+
+
+def normalize(img: jax.Array, mean, std) -> jax.Array:
+    """Per-channel (img - mean) / std on channels-last arrays."""
+    mean = jnp.asarray(mean, dtype=img.dtype)
+    std = jnp.asarray(std, dtype=img.dtype)
+    return (img - mean) / std
+
+
+# The Lab normalization used by every shipped eval config
+# (/root/reference/configs/eval/base_data.py:1).
+LAB_MEAN = (50.0, 0.0, 0.0)
+LAB_STD = (50.0, 127.0, 127.0)
+
+
+def preprocess_rgb_to_lab_normalized(rgb_uint8: jax.Array) -> jax.Array:
+    """uint8 RGB frame(s) → normalized Lab float32, the full eval preprocessing."""
+    rgb = rgb_uint8.astype(jnp.float32) / 255.0
+    lab = rgb_to_lab(rgb)
+    return normalize(lab, LAB_MEAN, LAB_STD)

@@ -1,0 +1,89 @@
+"""Backward warping, bilinear sampling, and flow-consistency occlusion masks.
+
+TPU equivalents of the reference's Warp / bilinear_sample / occlusion
+estimation (/root/reference/mmpt/models/common/warp.py:28,
+corr_lookup.py:29, occlusion_estimation.py:96).
+
+`bilinear_sample` reproduces torch grid_sample(align_corners=True,
+padding_mode='zeros') fed with pixel coordinates (the reference normalizes
+pixel coords to [-1, 1] first; composing the two steps is plain bilinear
+interpolation at pixel coords with zero padding).
+
+`forward_backward_consistency` keeps the reference's literal formula —
+including its ``flow_fw * 2`` term where ``flow_fw ** 2`` was almost
+certainly intended — because the released models were trained with this
+behavior (occlusion_estimation.py:113-118).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample (H, W, C) at float pixel coords (..., 2) (x, y); zeros outside.
+
+    Matches grid_sample(align_corners=True, padding_mode='zeros') after the
+    reference's pixel→[-1,1] normalization: interpolation weights come from
+    the raw pixel coordinates; samples outside [0, W-1]×[0, H-1] fade to 0.
+    """
+    H, W, C = img.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def gather(ix, iy):
+        inside = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        vals = img[iyc, ixc]  # (..., C)
+        return vals * inside[..., None]
+
+    out = (
+        gather(x0, y0) * (wx0 * wy0)[..., None]
+        + gather(x1, y0) * (wx1 * wy0)[..., None]
+        + gather(x0, y1) * (wx0 * wy1)[..., None]
+        + gather(x1, y1) * (wx1 * wy1)[..., None]
+    )
+    return out
+
+
+def backward_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Warp (H, W, C) by flow (H, W, 2): out[p] = img[p + flow[p]]."""
+    H, W, _ = flow.shape
+    gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    coords = jnp.stack([gx + flow[..., 0], gy + flow[..., 1]], axis=-1)
+    return bilinear_sample(img, coords)
+
+
+def forward_backward_consistency(
+    flow_fw: jax.Array, flow_bw: jax.Array
+) -> jax.Array:
+    """(H, W) float mask, 1 = consistent (non-occluded).
+
+    occ = |f_fw + warp(f_bw, f_fw)|² < (f_fw*2 + warp(f_bw, f_fw)²)·0.01 + 0.5
+    — the reference's literal formula, ``flow_fw * 2`` quirk included.
+    """
+    warped_bw = backward_warp(flow_bw, flow_fw)
+    sq_diff = jnp.sum((flow_fw + warped_bw) ** 2, axis=-1)
+    sum_sq = jnp.sum(flow_fw * 2 + warped_bw**2, axis=-1)
+    return (sq_diff < sum_sq * 0.01 + 0.5).astype(flow_fw.dtype)
+
+
+def occlusion_masks(flow_fw: jax.Array, flow_bw: jax.Array):
+    """dict(occ_fw, occ_bw) masks via forward-backward consistency."""
+    return {
+        "occ_fw": forward_backward_consistency(flow_fw, flow_bw),
+        "occ_bw": forward_backward_consistency(flow_bw, flow_fw),
+    }

@@ -1,0 +1,18 @@
+"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+
+Must run before jax is imported anywhere (pytest imports conftest first).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# NOTE: the JAX_PLATFORMS env var is not honored in this environment (a TPU
+# plugin overrides it); the jax.config update is.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,98 @@
+"""End-to-end propagation parity vs the numpy reference oracle."""
+
+import numpy as np
+
+from oracles import propagate_ref
+
+
+def _tiny_tracker(feat_fn, cfg):
+    from fgvc_tpu.models.tracker import Tracker
+
+    return Tracker(feat_fn, {}, cfg)
+
+
+def test_propagation_matches_reference_loop():
+    import jax
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.tracker import Tracker
+    from fgvc_tpu.ops.grids import draw_gaussian_maps
+
+    rng = np.random.default_rng(0)
+    T, h, w, C, P = 7, 12, 12, 8, 3
+    H, W = 24, 24  # full res, stride 2
+    feats = rng.standard_normal((T, h, w, C)).astype(np.float32)
+
+    cfg = TestConfig(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        step=48, input_size=(H, W), frame_bucket=4, point_bucket=4,
+    )
+
+    pts = rng.uniform(2, 20, size=(P, 2)).astype(np.float32)
+    init_maps = np.asarray(
+        draw_gaussian_maps(jnp.asarray(pts), H, W, sigma=cfg.sigma, stride=2)
+    )
+
+    tracker = Tracker(lambda v, x: x, {}, cfg)  # identity backbone (unused)
+    coords = np.asarray(
+        tracker._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
+    )
+
+    # oracle: reference python loop + same upsample/decode
+    bank = propagate_ref(
+        feats, init_maps, (H, W),
+        precede_frames=cfg.precede_frames, topk=cfg.topk,
+        temperature=cfg.temperature, radius=cfg.neighbor_range // 2,
+    )
+    from fgvc_tpu.ops.grids import soft_argmax_topk
+
+    for t in range(1, T):
+        up = jax.image.resize(
+            jnp.asarray(np.transpose(bank[t], (1, 2, 0))), (H, W, P), "bilinear"
+        )
+        ref_coords = np.asarray(
+            soft_argmax_topk(jnp.transpose(up, (2, 0, 1)), topk=5)
+        )
+        np.testing.assert_allclose(
+            coords[t], ref_coords, rtol=1e-3, atol=5e-3,
+        )
+
+
+def test_track_points_grouping_and_padding():
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.tracker import Tracker
+
+    rng = np.random.default_rng(1)
+    T, H, W = 6, 16, 16
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+
+    # "backbone": stride-2 average pooling so features follow the frames
+    def feat_fn(variables, imgs):
+        x = imgs.reshape(imgs.shape[0], H // 2, 2, W // 2, 2, 3)
+        x = x.mean(axis=(2, 4))
+        return jnp.tile(x, (1, 1, 1, 4))  # (B, 8, 8, 12)
+
+    cfg = TestConfig(
+        precede_frames=2, topk=3, temperature=0.07, neighbor_range=8,
+        step=32, input_size=(H, W), frame_bucket=4, point_bucket=2,
+    )
+    tracker = Tracker(feat_fn, {}, cfg)
+
+    query_points = np.array(
+        [[0, 4.0, 5.0], [0, 10.0, 3.0], [2, 8.0, 8.0]], dtype=np.float32
+    )
+    out = tracker.track_points(video, query_points)
+    traj = out["trajectories"]
+    assert traj.shape == (T, 3, 2)
+    # pre-query frames stay zero (reference zero-fills them)
+    assert np.all(traj[:2, 2] == 0)
+    # the query-frame decode lands near the query point (gaussian argmax)
+    np.testing.assert_allclose(traj[0, 0], [4.0, 5.0], atol=0.5)
+    np.testing.assert_allclose(traj[0, 1], [10.0, 3.0], atol=0.5)
+    np.testing.assert_allclose(traj[2, 2], [8.0, 8.0], atol=0.5)
+    # all frames produce finite coordinates for group-0 points
+    assert np.all(np.isfinite(traj[:, :2]))
+    assert not np.any(out["visibilities"])
