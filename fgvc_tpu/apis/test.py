@@ -1,0 +1,188 @@
+"""Evaluation harness: build tracker, iterate dataset, aggregate metrics.
+
+Replaces the reference's tools/test.py + apis/test.py single/multi-GPU test
+loops (/root/reference/mmpt/apis/test.py:13,62) with:
+
+  * one Tracker per task config (the eval twin of VanillaTracker /
+    HRVanillaTracker),
+  * a host loop over videos dispatching fully-jitted per-video work,
+  * multi-process sharding: each process takes videos [rank::world]
+    (the DistributedSampler pattern, samplers/distributed_sampler.py:9) and
+    results are merged by the caller or via process_allgather when
+    jax.distributed is initialized.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from fgvc_tpu.config import (
+    BADJA_TEST_CFG,
+    DAVIS_TEST_CFG,
+    JHMDB_TEST_CFG,
+    KINETICS_TEST_CFG,
+    TestConfig,
+)
+from fgvc_tpu.models.resnet import init_resnet_params, resnet18_d1
+from fgvc_tpu.models.torch_convert import (
+    convert_resnet_state_dict,
+    load_torch_state_dict,
+)
+from fgvc_tpu.models.tracker import Tracker
+
+TASK_CONFIGS: Dict[str, TestConfig] = {
+    "davis": DAVIS_TEST_CFG,
+    "kinetics": KINETICS_TEST_CFG,
+    "jhmdb": JHMDB_TEST_CFG,
+    "badja": BADJA_TEST_CFG,
+    "vos": DAVIS_TEST_CFG,
+}
+
+
+def build_tracker(
+    test_cfg: TestConfig, checkpoint: Optional[str] = None, seed: int = 0
+) -> Tracker:
+    """ResNet-18-d1 tracker; loads a torch .pth or an orbax dir if given."""
+    model = resnet18_d1()
+    if checkpoint and checkpoint.endswith(".pth"):
+        state = load_torch_state_dict(checkpoint)
+        variables = convert_resnet_state_dict(state)
+    elif checkpoint:
+        import orbax.checkpoint as ocp
+
+        variables = ocp.StandardCheckpointer().restore(checkpoint)
+        if "backbone" in variables.get("params", {}):
+            variables = {
+                "params": variables["params"]["backbone"],
+                "batch_stats": variables["batch_stats"],
+            }
+    else:
+        variables = init_resnet_params(
+            model, jax.random.PRNGKey(seed), test_cfg.input_size
+        )
+    return Tracker(
+        lambda v, x: model.apply(v, x, train=False), variables, test_cfg
+    )
+
+
+def _my_videos(n: int, rank: int, world: int):
+    return list(range(n))[rank::world]
+
+
+def eval_tapvid(
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+) -> Dict[str, float]:
+    """TAP-Vid DAVIS / Kinetics point tracking."""
+    results = []
+    ids = _my_videos(len(dataset), rank, world)
+    if max_videos:
+        ids = ids[:max_videos]
+    for i in ids:
+        sample = dataset[i]
+        t0 = time.time()
+        out = tracker.track_points(sample["video"], sample["query_points"])
+        print(
+            f"[{i}] T={len(sample['video'])} P={sample['query_points'].shape[0]}"
+            f" {time.time() - t0:.2f}s",
+            flush=True,
+        )
+        results.append(
+            {
+                "trajectories_gt": sample["trajectories"],
+                "visibilities_gt": sample["visibilities"],
+                "trajectories_pred": out["trajectories"],
+                "visibilities_pred": out["visibilities"],
+                "query_points": sample["query_points"],
+            }
+        )
+    return dataset.evaluate(results, output_dir=output_dir)
+
+
+def eval_jhmdb(
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+) -> Dict[str, float]:
+    preds = []
+    ids = _my_videos(len(dataset), rank, world)
+    if max_videos:
+        ids = ids[:max_videos]
+    for i in ids:
+        sample = dataset[i]
+        coords = tracker.track_heatmaps(
+            sample["video"], sample["ref_maps"], tuple(sample["original_shape"])
+        )  # (T, P, 2)
+        preds.append(np.transpose(coords, (2, 1, 0)))  # (2, P, T)
+    return dataset.evaluate(preds, output_dir=output_dir)
+
+
+def eval_badja(
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+) -> Dict[str, float]:
+    preds = []
+    ids = _my_videos(len(dataset), rank, world)
+    if max_videos:
+        ids = ids[:max_videos]
+    for i in ids:
+        sample = dataset[i]
+        coords = tracker.track_heatmaps(
+            sample["video"], sample["ref_maps"], tuple(sample["original_shape"])
+        )
+        preds.append(coords)  # (T, P, 2) at input size
+    return dataset.evaluate(preds, output_dir=output_dir)
+
+
+def eval_vos(
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+) -> Dict[str, float]:
+    preds = []
+    ids = _my_videos(len(dataset), rank, world)
+    if max_videos:
+        ids = ids[:max_videos]
+    for i in ids:
+        sample = dataset[i]
+        masks = tracker.track_masks(
+            sample["video"],
+            sample["first_mask"],
+            tuple(sample["original_shape"]),
+            sample["num_objects"],
+        )
+        preds.append(masks)
+    return dataset.evaluate(preds, output_dir=output_dir)
+
+
+def run_task(
+    task: str,
+    data_root: str,
+    checkpoint: Optional[str] = None,
+    list_path: Optional[str] = None,
+    max_videos: Optional[int] = None,
+    output_dir: Optional[str] = None,
+    test_cfg: Optional[TestConfig] = None,
+) -> Dict[str, float]:
+    """Mirror of `tools/test.py --task ...` (tools/test.py:121-198)."""
+    cfg = test_cfg or TASK_CONFIGS[task]
+    tracker = build_tracker(cfg, checkpoint)
+    if task in ("davis", "kinetics"):
+        from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+        ds = TapVidDataset(data_root, subset_name=task, query_mode="first")
+        return eval_tapvid(tracker, ds, max_videos, output_dir=output_dir)
+    if task == "jhmdb":
+        from fgvc_tpu.datasets.jhmdb import JhmdbDataset
+
+        ds = JhmdbDataset(data_root, list_path or data_root)
+        return eval_jhmdb(tracker, ds, max_videos, output_dir=output_dir)
+    if task == "badja":
+        from fgvc_tpu.datasets.badja import BadjaDataset
+
+        ds = BadjaDataset(data_root, list_path or data_root)
+        return eval_badja(tracker, ds, max_videos, output_dir=output_dir)
+    if task == "vos":
+        from fgvc_tpu.datasets.davis_vos import DavisVosDataset
+
+        ds = DavisVosDataset(data_root, split_list=list_path)
+        return eval_vos(tracker, ds, max_videos, output_dir=output_dir)
+    raise ValueError(f"unknown task {task}")

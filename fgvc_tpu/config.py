@@ -44,6 +44,16 @@ class TestConfig:
     # Static-shape bucketing (TPU): videos/points are padded up to multiples.
     frame_bucket: int = 32
     point_bucket: int = 32
+    # Attention implementation: 'tiled' (windowed fast path, identical
+    # numerics) or 'dense' (reference-shaped chunked kernel).
+    attention_impl: str = "tiled"
+    tile: int = 32  # query tile edge for the tiled kernel
+    # 'highest' = full f32 on MXU (parity); 'default' = bf16 multiplies.
+    matmul_precision: str = "highest"
+    # 'exact' = lax.top_k (bit-parity with the reference); 'approx' = TPU
+    # PartialReduce approx_max_k + gather-free threshold weights (~2×
+    # faster per frame, per-element recall ≈ 0.95).
+    topk_impl: str = "exact"
 
 
 DAVIS_TEST_CFG = TestConfig(step=512)

@@ -1,7 +1,8 @@
 """Label-propagation tracker — the eval engine (VanillaTracker equivalent).
 
-Re-design of the reference inference path
-(/root/reference/mmpt/models/trackers/vanilla_tracker.py:227-412) for TPU:
+Re-design of the reference inference paths
+(/root/reference/mmpt/models/trackers/vanilla_tracker.py:227-412 point
+tracking; :663-831 heatmap/mask propagation) for TPU:
 
   * the per-frame python loop over the video becomes ONE `lax.scan` with a
     fixed-size rolling value buffer (first frame + `precede_frames`),
@@ -10,20 +11,22 @@ Re-design of the reference inference path
     instead of variable-length concatenation — this reproduces the
     reference's exact key set, including the duplicated first frame for
     t <= precede_frames,
-  * heatmap upsampling + top-5 soft-argmax decode happen on-device inside the
-    scan, so only (T, P, 2) coordinates ever reach the host,
+  * heatmap upsampling + top-5 soft-argmax decode (or mask argmax) happen
+    on-device inside the scan, so only (T, P, 2) coordinates or (T, H, W)
+    label maps ever reach the host,
   * variable video length / point count are handled by padding to static
     buckets; padded points decode to (-1, -1) and padded frames are dropped.
 
-The query-frame grouping loop of forward_test stays on the host (it is pure
-bookkeeping); each group reuses the single per-video feature bank via a
-dynamic slice instead of re-running the backbone like the reference does.
+Three public entry points:
+  track_points     — TAP-Vid protocol (query-frame grouping, gaussian maps)
+  track_heatmaps   — JHMDB / BADJA keypoint protocol (given reference
+                     heatmaps, square correlation window)
+  track_masks      — DAVIS VOS protocol (one-hot masks, argmax decode)
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +35,7 @@ import numpy as np
 from fgvc_tpu.config import TestConfig
 from fgvc_tpu.ops.attention import masked_topk_attention
 from fgvc_tpu.ops.grids import draw_gaussian_maps, soft_argmax_topk
+from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
 
 
 def _bucket(n: int, b: int) -> int:
@@ -53,14 +57,28 @@ class Tracker:
         self.cfg = test_cfg
         self._extract = jax.jit(self._extract_impl, static_argnames=("chunk",))
         self._propagate = jax.jit(
-            self._propagate_impl, static_argnames=("full_hw",)
+            self._propagate_impl, static_argnames=("full_hw", "mask_shape")
+        )
+        self._propagate_m = jax.jit(
+            self._propagate_masks_impl, static_argnames=("full_hw", "mask_shape")
+        )
+        self._track_group = jax.jit(
+            self._track_group_impl, static_argnames=("full_hw", "length")
         )
 
     # ------------------------------------------------------------------ #
     # feature extraction
     # ------------------------------------------------------------------ #
     def _extract_impl(self, video: jax.Array, chunk: int = 8) -> jax.Array:
-        """(T, H, W, 3) normalized frames -> (T, h, w, C) features via scan."""
+        """(T, H, W, 3) frames -> (T, h, w, C) features via scan.
+
+        uint8 input is treated as raw RGB and preprocessed ON DEVICE
+        (RGB→Lab + normalization, the full eval pipeline) — only 1 byte per
+        pixel crosses the host↔device link.  float input is assumed
+        already preprocessed.
+        """
+        from fgvc_tpu.ops.color import preprocess_rgb_to_lab_normalized
+
         T = video.shape[0]
         n = -(-T // chunk)
         pad = n * chunk - T
@@ -68,6 +86,8 @@ class Tracker:
         batches = video.reshape(n, chunk, *video.shape[1:])
 
         def body(_, imgs):
+            if imgs.dtype == jnp.uint8:
+                imgs = preprocess_rgb_to_lab_normalized(imgs)
             return None, self.apply_fn(self.variables, imgs)
 
         _, feats = jax.lax.scan(body, None, batches)
@@ -78,54 +98,14 @@ class Tracker:
         return self._extract(video)
 
     # ------------------------------------------------------------------ #
-    # propagation
+    # propagation core
     # ------------------------------------------------------------------ #
-    def _propagate_impl(
-        self,
-        feats: jax.Array,       # (T, h, w, C) — frame 0 is the query frame
-        init_maps: jax.Array,   # (P, h, w) value maps at feature resolution
-        full_hw: Tuple[int, int],
-    ) -> jax.Array:
-        """Scan label propagation; returns (T, P, 2) decoded (x, y) coords.
-
-        Frame 0's coords are decoded from the full-res init maps by the
-        caller; here index 0 of the output is left as the feature-res decode
-        of init_maps (overwritten on host).
-        """
+    def _attention_step(self, query, keys, values, key_valid, mask_shape):
         cfg = self.cfg
-        T, h, w, C = feats.shape
-        P = init_maps.shape[0]
         radius = cfg.neighbor_range // 2
-        n_keys = cfg.precede_frames + 1  # first frame + window
-
-        first_feat = feats[0]
-        first_value = jnp.transpose(init_maps, (1, 2, 0))  # (h, w, P)
-
-        H_full, W_full = full_hw
-
-        def decode(logits_hw_p):
-            up = jax.image.resize(
-                logits_hw_p, (H_full, W_full, P), method="bilinear"
-            )
-            return soft_argmax_topk(jnp.transpose(up, (2, 0, 1)), topk=5)
-
-        def step(carry, t):
-            value_buf = carry  # (precede, h, w, P), frames t-5..t-1 (last = t-1)
-            query = feats[t]
-
-            # window frame indices t-5+i, i = 0..precede-1; invalid if < 0
-            offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
-            win_idx = t + offs
-            win_valid = win_idx >= 0
-            win_feats = feats[jnp.clip(win_idx, 0, T - 1)]  # (precede, h, w, C)
-
-            keys = jnp.concatenate([first_feat[None], win_feats], axis=0)
-            values = jnp.concatenate([first_value[None], value_buf], axis=0)
-            key_valid = jnp.concatenate(
-                [jnp.ones((1,), bool), win_valid], axis=0
-            )
-
-            seg_logit = masked_topk_attention(
+        non_mask_len = 0 if cfg.with_first_neighbor else 1
+        if cfg.attention_impl == "tiled" and non_mask_len == 0:
+            return masked_topk_attention_tiled(
                 query,
                 keys,
                 values,
@@ -133,30 +113,132 @@ class Tracker:
                 temperature=cfg.temperature,
                 topk=cfg.topk,
                 normalize=cfg.with_norm,
-                step=cfg.step,
-                non_mask_len=0 if cfg.with_first_neighbor else 1,
+                tile=cfg.tile,
+                mask_shape=mask_shape,
                 key_valid=key_valid,
-            )  # (h, w, P)
-
-            new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
-            return new_buf, decode(seg_logit)
-
-        init_buf = jnp.tile(first_value[None], (cfg.precede_frames, 1, 1, 1))
-        # Reference semantics: for t <= precede_frames the window slots that
-        # fall before frame 0 are invalid (masked), and slot contents for
-        # valid indices are the real seg history. Initializing the buffer
-        # with the first-frame value is safe: any slot holding it would be a
-        # negative index and is therefore masked.
-        _, coords = jax.lax.scan(step, init_buf, jnp.arange(1, T))
-
-        coords0 = soft_argmax_topk(
-            jnp.transpose(
-                jax.image.resize(first_value, (H_full, W_full, P), "bilinear"),
-                (2, 0, 1),
-            ),
-            topk=5,
+                precision=cfg.matmul_precision,
+                topk_impl=cfg.topk_impl,
+            )
+        return masked_topk_attention(
+            query,
+            keys,
+            values,
+            radius=float(radius),
+            temperature=cfg.temperature,
+            topk=cfg.topk,
+            normalize=cfg.with_norm,
+            step=cfg.step,
+            non_mask_len=non_mask_len,
+            mask_shape=mask_shape,
+            key_valid=key_valid,
         )
+
+    def _scan_propagate(self, feats, first_value, mask_shape, emit):
+        """Shared scan over frames 1..T-1.
+
+        emit(seg_logit (h, w, P)) -> per-frame output pytree.
+        """
+        cfg = self.cfg
+        T = feats.shape[0]
+        first_feat = feats[0]
+
+        def step(value_buf, t):
+            query = feats[t]
+            offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
+            win_idx = t + offs
+            win_valid = win_idx >= 0
+            win_feats = feats[jnp.clip(win_idx, 0, T - 1)]
+
+            keys = jnp.concatenate([first_feat[None], win_feats], axis=0)
+            values = jnp.concatenate([first_value[None], value_buf], axis=0)
+            key_valid = jnp.concatenate(
+                [jnp.ones((1,), bool), win_valid], axis=0
+            )
+            seg_logit = self._attention_step(
+                query, keys, values, key_valid, mask_shape
+            )
+            new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
+            return new_buf, emit(seg_logit)
+
+        # Slots holding pre-video indices are masked via key_valid, so the
+        # initial buffer content is never read.
+        init_buf = jnp.tile(first_value[None], (cfg.precede_frames, 1, 1, 1))
+        _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
+        return outs
+
+    def _propagate_impl(
+        self,
+        feats: jax.Array,       # (T, h, w, C) — frame 0 is the query frame
+        init_maps: jax.Array,   # (P, h, w) value maps at feature resolution
+        full_hw: Tuple[int, int],
+        mask_shape: str = "circle",
+    ) -> jax.Array:
+        """Scan label propagation; returns (T, P, 2) decoded (x, y) coords
+        at full_hw resolution.  Index 0 is the feature-res decode of
+        init_maps (callers overwrite it with their reference-res decode)."""
+        H_full, W_full = full_hw
+        P = init_maps.shape[0]
+        first_value = jnp.transpose(init_maps, (1, 2, 0))  # (h, w, P)
+
+        def decode(logits_hw_p):
+            up = jax.image.resize(
+                logits_hw_p, (H_full, W_full, P), method="bilinear"
+            )
+            return soft_argmax_topk(jnp.transpose(up, (2, 0, 1)), topk=5)
+
+        coords = self._scan_propagate(feats, first_value, mask_shape, decode)
+        coords0 = decode(first_value)
         return jnp.concatenate([coords0[None], coords], axis=0)  # (T, P, 2)
+
+    def _propagate_masks_impl(
+        self,
+        feats: jax.Array,       # (T, h, w, C)
+        init_onehot: jax.Array, # (h, w, K) one-hot masks at feature res
+        full_hw: Tuple[int, int],
+        mask_shape: str = "circle",
+    ) -> jax.Array:
+        """VOS propagation; returns (T, H, W) int32 label maps (argmax)."""
+        H_full, W_full = full_hw
+        K = init_onehot.shape[-1]
+
+        def decode(logits):
+            up = jax.image.resize(
+                logits, (H_full, W_full, K), method="bilinear"
+            )
+            return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+        masks = self._scan_propagate(feats, init_onehot, mask_shape, decode)
+        return jnp.concatenate([decode(init_onehot)[None], masks], axis=0)
+
+    def _track_group_impl(
+        self,
+        feats: jax.Array,     # (T_bank, h, w, C) full per-video feature bank
+        t0: jax.Array,        # scalar query-frame index of this group
+        pts: jax.Array,       # (P, 2) (x, y) query points in input pixels
+        valid: jax.Array,     # (P,) bool — padded points are invalid
+        full_hw: Tuple[int, int],
+        length: int,          # static propagation length (frame bucket)
+    ) -> jax.Array:
+        """One query-frame group, fully on-device: draw gaussian maps,
+        propagate from frame t0, decode coords — a single dispatch."""
+        cfg = self.cfg
+        H, W = full_hw
+        h = feats.shape[1]
+        stride = H // h
+        P = pts.shape[0]
+
+        init_maps = draw_gaussian_maps(pts, H, W, sigma=cfg.sigma, stride=stride)
+        init_maps = init_maps * valid[:, None, None].astype(init_maps.dtype)
+
+        feats_g = jax.lax.dynamic_slice_in_dim(feats, t0, length, axis=0)
+        coords = self._propagate_impl(feats_g, init_maps, full_hw)
+
+        # frame 0 decodes from the FULL-res gaussian (the reference's
+        # seg_preds[0]), masked to (-1, -1) for padded points
+        full_maps = draw_gaussian_maps(pts, H, W, sigma=cfg.sigma, stride=1)
+        full_maps = full_maps * valid[:, None, None].astype(full_maps.dtype)
+        coords0 = soft_argmax_topk(full_maps, topk=5)
+        return jnp.concatenate([coords0[None], coords[1:]], axis=0)
 
     # ------------------------------------------------------------------ #
     # public API: point tracking (TAP-Vid protocol)
@@ -177,51 +259,135 @@ class Tracker:
         T, H, W, _ = video.shape
         P = query_points.shape[0]
 
-        # One extra bucket of padding so per-group slices (start t, length
-        # bucket(T - t)) never clamp at the end of the bank.
-        t_pad = _bucket(T, cfg.frame_bucket) + cfg.frame_bucket
-        video_p = np.concatenate(
-            [video, np.repeat(video[-1:], t_pad - T, axis=0)], axis=0
-        )
-        feats = self.extract_features(jnp.asarray(video_p))
-        h, w = feats.shape[1:3]
-        stride = H // h
-
+        feats = self._features_padded(video)
         traj_pred = np.zeros((T, P, 2), dtype=np.float32)
 
         ts = np.unique(query_points[:, 0].astype(np.int64))
+        pending = []
         for t in ts:
             sel = np.nonzero(query_points[:, 0].astype(np.int64) == t)[0]
             pts = query_points[sel][:, 1:]  # (Pg, 2) x, y
             p_pad = _bucket(len(sel), cfg.point_bucket)
             pts_p = np.zeros((p_pad, 2), dtype=np.float32)
             pts_p[: len(sel)] = pts
-
-            # gaussian heatmaps at feature resolution (strided grid)
-            init_maps = draw_gaussian_maps(
-                jnp.asarray(pts_p), H, W, sigma=cfg.sigma, stride=stride
-            )
-            # zero out padded points so they decode to (-1, -1)
-            valid = (jnp.arange(p_pad) < len(sel)).astype(init_maps.dtype)
-            init_maps = init_maps * valid[:, None, None]
+            valid = np.arange(p_pad) < len(sel)
 
             L_pad = _bucket(T - int(t), cfg.frame_bucket)
-            feats_g = jax.lax.dynamic_slice_in_dim(feats, int(t), L_pad, axis=0)
-
-            coords = self._propagate(feats_g, init_maps, (H, W))
-            coords = np.array(coords)[: T - int(t), : len(sel)]
-
-            # frame 0 of the group decodes from the FULL-res gaussian, like
-            # the reference's seg_preds[0]
-            full_maps = draw_gaussian_maps(
-                jnp.asarray(pts), H, W, sigma=cfg.sigma, stride=1
+            coords = self._track_group(
+                feats,
+                jnp.int32(t),
+                jnp.asarray(pts_p),
+                jnp.asarray(valid),
+                full_hw=(H, W),
+                length=L_pad,
             )
-            coords0 = np.asarray(soft_argmax_topk(full_maps, topk=5))
-            coords[0] = coords0
+            pending.append((t, sel, coords))
 
-            traj_pred[int(t):, sel] = coords
+        # fetch results after all groups are dispatched (overlaps transfers)
+        for t, sel, coords in pending:
+            traj_pred[int(t):, sel] = np.array(coords)[: T - int(t), : len(sel)]
 
         return {
             "trajectories": traj_pred,
             "visibilities": np.zeros((T, P), dtype=bool),
         }
+
+    # ------------------------------------------------------------------ #
+    # public API: keypoint heatmap propagation (JHMDB / BADJA protocol)
+    # ------------------------------------------------------------------ #
+    def track_heatmaps(
+        self,
+        video: np.ndarray,       # (T, H, W, 3) preprocessed (Lab-normalized)
+        ref_maps: np.ndarray,    # (h0, w0, P) reference keypoint heatmaps
+        decode_hw: Tuple[int, int],  # resolution to decode coordinates at
+    ) -> np.ndarray:
+        """Propagate given reference heatmaps from frame 0; returns
+        (T, P, 2) (x, y) coords at decode_hw resolution.
+
+        Mirrors HRVanillaTracker.forward_test_backward_save_mem with
+        heatmap input (vanilla_tracker.py:663): bilinear-resize the maps to
+        feature resolution, propagate with the square correlation window
+        (mmcv-Correlation semantics), decode with top-5 soft-argmax on maps
+        upsampled to decode_hw.
+        """
+        cfg = self.cfg
+        T = video.shape[0]
+        P = ref_maps.shape[-1]
+
+        feats = self._features_padded(video)
+        h, w = feats.shape[1:3]
+
+        p_pad = _bucket(P, cfg.point_bucket)
+        maps = jnp.asarray(ref_maps, jnp.float32)
+        resized = jax.image.resize(maps, (h, w, P), method="bilinear")
+        resized = jnp.pad(resized, ((0, 0), (0, 0), (0, p_pad - P)))
+
+        L_pad = _bucket(T, cfg.frame_bucket)
+        feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
+        coords = self._propagate(
+            feats_g,
+            jnp.transpose(resized, (2, 0, 1)),
+            decode_hw,
+            mask_shape="square",
+        )
+        coords = np.array(coords)[:T, :P]
+
+        # frame 0: decode from the original reference maps at decode_hw
+        ref_up = jax.image.resize(maps, (*decode_hw, P), method="bilinear")
+        coords[0] = np.asarray(
+            soft_argmax_topk(jnp.transpose(ref_up, (2, 0, 1)), topk=5)
+        )
+        return coords
+
+    # ------------------------------------------------------------------ #
+    # public API: VOS mask propagation (DAVIS protocol)
+    # ------------------------------------------------------------------ #
+    def track_masks(
+        self,
+        video: np.ndarray,       # (T, H, W, 3) preprocessed (Lab-normalized)
+        ref_mask: np.ndarray,    # (h0, w0) integer label map for frame 0
+        decode_hw: Tuple[int, int],
+        num_objects: int,
+    ) -> np.ndarray:
+        """Multi-object mask propagation; returns (T, H, W) int labels at
+        decode_hw.  One-hot at feature resolution (nearest-downsampled like
+        the reference's pil_nearest path), square correlation window."""
+        cfg = self.cfg
+        T = video.shape[0]
+
+        feats = self._features_padded(video)
+        h, w = feats.shape[1:3]
+
+        labels = jnp.asarray(ref_mask, jnp.int32)
+        small = jax.image.resize(
+            labels.astype(jnp.float32)[..., None], (h, w, 1), method="nearest"
+        )[..., 0].astype(jnp.int32)
+        onehot = jax.nn.one_hot(small, num_objects + 1, dtype=jnp.float32)
+
+        L_pad = _bucket(T, cfg.frame_bucket)
+        feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
+        masks = self._propagate_m(
+            feats_g, onehot, decode_hw, mask_shape="square"
+        )
+        masks = np.array(masks)[:T]
+        # frame 0 is ground truth at decode resolution
+        masks[0] = np.asarray(
+            jax.image.resize(
+                labels.astype(jnp.float32)[..., None],
+                (*decode_hw, 1),
+                method="nearest",
+            )[..., 0].astype(jnp.int32)
+        )
+        return masks
+
+    # ------------------------------------------------------------------ #
+    def _features_padded(self, video: np.ndarray) -> jax.Array:
+        """Extract features for the video padded by one extra frame bucket,
+        so per-group dynamic slices never clamp."""
+        cfg = self.cfg
+        T = video.shape[0]
+        t_pad = _bucket(T, cfg.frame_bucket) + cfg.frame_bucket
+        video_p = np.concatenate(
+            [video, np.repeat(video[-1:], t_pad - T, axis=0)], axis=0
+        )
+        return self.extract_features(jnp.asarray(video_p))

@@ -69,6 +69,7 @@ def spatial_neighbor_mask(height: int, width: int, neighbor_range: int) -> jax.A
         "step",
         "non_mask_len",
         "mode",
+        "mask_shape",
     ),
 )
 def masked_topk_attention(
@@ -83,6 +84,7 @@ def masked_topk_attention(
     step: int = 512,
     non_mask_len: int = 0,
     mode: str = "softmax",
+    mask_shape: str = "circle",
     key_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Spatial-radius-masked top-k attention propagation.
@@ -100,6 +102,9 @@ def masked_topk_attention(
       step: query-pixel chunk size (memory/speed dial, like the reference's).
       non_mask_len: number of leading key frames exempt from the spatial mask.
       mode: 'softmax' (weights = softmax) or 'cosine' (clamp(min=0)**2).
+      mask_shape: 'circle' = euclidean distance < radius (spatial_neighbor);
+        'square' = |dy| <= radius and |dx| <= radius (the window the
+        reference's mmcv Correlation paths use).
       key_valid: optional (T,) bool — False frames contribute nothing
         (used for static-shape sliding windows).
 
@@ -158,9 +163,13 @@ def masked_topk_attention(
         ) / temperature
 
         if radius is not None:
-            d2 = (qy[:, None] - gy[None, :]) ** 2 + (qx[:, None] - gx[None, :]) ** 2
-            in_circle = d2 < radius * radius  # (S, HW)
-            allowed = in_circle[:, None, :] | frame_exempt[None, :, :]  # (S,T,HW)
+            dy = jnp.abs(qy[:, None] - gy[None, :])
+            dx = jnp.abs(qx[:, None] - gx[None, :])
+            if mask_shape == "circle":
+                in_range = dy * dy + dx * dx < radius * radius  # (S, HW)
+            else:
+                in_range = (dy <= radius) & (dx <= radius)
+            allowed = in_range[:, None, :] | frame_exempt[None, :, :]  # (S,T,HW)
             spatial_bias = jnp.where(allowed, 0.0, ninf)
         else:
             spatial_bias = jnp.zeros((step, T, HW), jnp.float32)

@@ -1,0 +1,208 @@
+"""Tiled windowed top-k attention — the fast path for label propagation.
+
+The dense kernel (ops/attention.py) computes every query-key affinity and
+then masks ~96% of them away (circle radius 15 on a 128×128 grid).  This
+implementation exploits the mask's locality the TPU-native way:
+
+  * queries are tiled into (tile × tile) blocks, processed by a `lax.scan`,
+  * each tile only sees a (tile + 2·halo)² key/value halo sliced around
+    itself — every key allowed by the circle mask lies inside the halo, so
+    results are numerically identical to the dense kernel (verified in
+    tests/test_windowed_attention.py),
+  * per-tile affinity is one MXU-friendly matmul (tile², C) × (C, T·win²);
+    top-k shrinks from T·H·W to T·win² candidates,
+  * peak memory is one (tile², T·win²) affinity block (~90 MB at DAVIS
+    shapes) instead of the reference's step-chunked (T·H·W, step) slabs.
+
+This replaces the reference's `step`-chunked full-affinity loop
+(/root/reference/mmpt/models/common/local_attention.py:267) — same
+semantics, ~5-8× fewer FLOPs, no (T·H·W × H·W) intermediate.
+
+Restrictions vs the dense kernel: requires a finite radius and
+non_mask_len == 0 (the shipped eval configs satisfy both); call sites fall
+back to the dense kernel otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fgvc_tpu.ops.attention import l2_normalize
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius",
+        "temperature",
+        "topk",
+        "normalize",
+        "tile",
+        "mode",
+        "mask_shape",
+        "precision",
+        "topk_impl",
+    ),
+)
+def masked_topk_attention_tiled(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    *,
+    radius: float,
+    temperature: float = 1.0,
+    topk: Optional[int] = None,
+    normalize: bool = True,
+    tile: int = 32,
+    mode: str = "softmax",
+    mask_shape: str = "circle",
+    key_valid: Optional[jax.Array] = None,
+    precision: str = "highest",
+    topk_impl: str = "exact",
+) -> jax.Array:
+    """Drop-in equivalent of masked_topk_attention for non_mask_len == 0.
+
+    Args: see masked_topk_attention.  `tile` is the query tile edge; `halo`
+    is ceil(radius) so the circle mask (strict <) is fully covered.
+    """
+    if mode not in ("softmax", "cosine"):
+        raise ValueError(f"unknown mode {mode}")
+    H, W, C = query.shape
+    T = key.shape[0]
+    Cv = value.shape[-1]
+    prec = _PRECISIONS[precision]
+
+    halo = int(radius)
+    win = tile + 2 * halo
+    S = tile * tile
+    K = T * win * win
+
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    nth, ntw = Hp // tile, Wp // tile
+
+    if normalize:
+        query = l2_normalize(query)
+        key = l2_normalize(key)
+
+    qpad = jnp.pad(query, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    kpad = jnp.pad(
+        key, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
+    )
+    vpad = jnp.pad(
+        value, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
+    )
+
+    # static circle mask in tile-local coords: key global offset from the
+    # query pixel is (ki - halo - qi, kj - halo - qj)
+    qi = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0).reshape(-1)
+    qj = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1).reshape(-1)
+    ki = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0).reshape(-1)
+    kj = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1).reshape(-1)
+    dy = jnp.abs(ki[None, :] - halo - qi[:, None])
+    dx = jnp.abs(kj[None, :] - halo - qj[:, None])
+    if mask_shape == "circle":
+        circle = dy * dy + dx * dx < radius * radius  # (S, win²)
+    else:  # 'square': the mmcv-Correlation window (|d| <= radius)
+        circle = (dy <= radius) & (dx <= radius)
+
+    ninf = jnp.float32(-jnp.inf)
+    if key_valid is not None:
+        frame_bias = jnp.where(key_valid, 0.0, ninf)  # (T,)
+    else:
+        frame_bias = jnp.zeros((T,), jnp.float32)
+
+    def tile_fn(_, t_idx):
+        tr = (t_idx // ntw) * tile  # tile row origin (global)
+        tc = (t_idx % ntw) * tile
+
+        q_t = jax.lax.dynamic_slice(qpad, (tr, tc, 0), (tile, tile, C))
+        k_t = jax.lax.dynamic_slice(kpad, (0, tr, tc, 0), (T, win, win, C))
+        v_t = jax.lax.dynamic_slice(vpad, (0, tr, tc, 0), (T, win, win, Cv))
+
+        aff = (
+            jnp.einsum(
+                "sc,kc->sk",
+                q_t.reshape(S, C),
+                k_t.reshape(K, C),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            / temperature
+        )  # (S, K)
+
+        # key validity: inside the un-padded image
+        kgi = tr + ki - halo
+        kgj = tc + kj - halo
+        in_bounds = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
+        allowed = circle & in_bounds[None, :]  # (S, win²)
+        bias = jnp.where(allowed[:, None, :], 0.0, ninf) + frame_bias[
+            None, :, None
+        ]  # (S, T, win²)
+        aff = aff + bias.reshape(S, K)
+
+        if topk is not None and mode == "softmax" and topk_impl == "approx":
+            # Gather-free approximate top-k: approx_max_k uses the TPU
+            # PartialReduce unit (~2× faster than the bitonic sort behind
+            # lax.top_k, recall ≈ 0.95 per element), and the value lookup
+            # becomes one dense MXU matmul with weights thresholded at the
+            # k-th affinity — no scattered gather at all.
+            # NOTE the threshold-derived scalars must come from REDUCTIONS
+            # over the (S, k) array: slicing columns out of a top-k result
+            # and broadcasting them against (S, K) hits a pathological
+            # XLA:TPU layout path (~20× slower; see _thresh_bench history).
+            w10, _ = jax.lax.approx_max_k(
+                aff, topk, recall_target=0.95, aggregate_to_topk=True
+            )
+            m = jnp.maximum(jnp.max(w10, -1, keepdims=True), -1e30)
+            thresh = jnp.maximum(jnp.min(w10, -1, keepdims=True), -1e30)
+            z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
+            step = jnp.clip(jnp.sign(aff - thresh) + 1.0, 0.0, 1.0)
+            weights = jnp.exp(aff - m) * step / z
+            out = jnp.einsum(
+                "sk,kc->sc",
+                weights,
+                v_t.reshape(K, Cv),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        elif topk is not None:
+            w, idxs = jax.lax.top_k(aff, topk)  # (S, k)
+            if mode == "softmax":
+                w = jax.nn.softmax(w, axis=-1)
+            else:
+                w = jnp.maximum(w, 0.0) ** 2
+            vals = v_t.reshape(K, Cv)[idxs]  # (S, k, Cv)
+            out = jnp.einsum(
+                "sk,skc->sc",
+                w,
+                vals,
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        else:
+            if mode == "softmax":
+                w = jax.nn.softmax(aff, axis=-1)
+            else:
+                w = jnp.maximum(aff, 0.0) ** 2
+            out = jnp.einsum(
+                "sk,kc->sc",
+                w,
+                v_t.reshape(K, Cv),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        return None, out  # (S, Cv)
+
+    _, outs = jax.lax.scan(tile_fn, None, jnp.arange(nth * ntw))
+    out = outs.reshape(nth, ntw, tile, tile, Cv).transpose(0, 2, 1, 3, 4)
+    return out.reshape(Hp, Wp, Cv)[:H, :W]

@@ -1,0 +1,42 @@
+"""Tiled windowed attention must match the dense masked kernel exactly."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize(
+    "H,W,tile,radius,topk",
+    [
+        (16, 16, 8, 4.0, 5),
+        (20, 14, 8, 3.0, 4),   # non-divisible by tile
+        (12, 12, 12, 5.0, None),
+    ],
+)
+def test_tiled_matches_dense(H, W, tile, radius, topk):
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.attention import masked_topk_attention
+    from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
+
+    rng = np.random.default_rng(0)
+    T, C, Cv = 3, 8, 5
+    q = rng.standard_normal((H, W, C)).astype(np.float32)
+    k = rng.standard_normal((T, H, W, C)).astype(np.float32)
+    v = rng.standard_normal((T, H, W, Cv)).astype(np.float32)
+    valid = np.array([True] * (T - 1) + [False])
+
+    dense = np.asarray(
+        masked_topk_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            radius=radius, temperature=0.07, topk=topk, step=64,
+            key_valid=jnp.asarray(valid),
+        )
+    )
+    tiled = np.asarray(
+        masked_topk_attention_tiled(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            radius=radius, temperature=0.07, topk=topk, tile=tile,
+            key_valid=jnp.asarray(valid),
+        )
+    )
+    np.testing.assert_allclose(tiled, dense, rtol=1e-4, atol=1e-5)

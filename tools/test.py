@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Evaluation CLI — the tools/test.py of the framework.
+
+Mirrors the reference interface (/root/reference/tools/test.py):
+
+    python tools/test.py --task davis --data-root <dir> [--checkpoint ckpt.pth]
+
+Tasks: davis / kinetics (TAP-Vid point tracking), jhmdb / badja (keypoint
+PCK), vos (DAVIS J&F mask propagation).  Torch .pth checkpoints from the
+reference release are converted on the fly.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="fgvc_tpu evaluation")
+    parser.add_argument(
+        "--task",
+        required=True,
+        choices=["davis", "kinetics", "jhmdb", "badja", "vos"],
+    )
+    parser.add_argument("--data-root", required=True)
+    parser.add_argument("--list-path", default=None)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--max-videos", type=int, default=None)
+    parser.add_argument("--output-dir", default="eval_results")
+    parser.add_argument(
+        "--precision",
+        default="highest",
+        choices=["highest", "default"],
+        help="affinity matmul precision (default = bf16 multiplies)",
+    )
+    args = parser.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS[args.task], matmul_precision=args.precision
+    )
+    results = run_task(
+        args.task,
+        args.data_root,
+        checkpoint=args.checkpoint,
+        list_path=args.list_path,
+        max_videos=args.max_videos,
+        output_dir=args.output_dir,
+        test_cfg=cfg,
+    )
+    print(json.dumps(results, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()
