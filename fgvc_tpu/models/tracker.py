@@ -104,6 +104,24 @@ class Tracker:
         cfg = self.cfg
         radius = cfg.neighbor_range // 2
         non_mask_len = 0 if cfg.with_first_neighbor else 1
+        if cfg.attention_impl == "pallas" and non_mask_len == 0:
+            from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+
+            return fused_topk_attention(
+                query,
+                keys,
+                values,
+                radius=float(radius),
+                temperature=cfg.temperature,
+                topk=cfg.topk,
+                normalize=cfg.with_norm,
+                tile=cfg.tile,
+                mask_shape=mask_shape,
+                key_valid=key_valid,
+                compute_dtype=(
+                    "bfloat16" if cfg.matmul_precision == "default" else "float32"
+                ),
+            )
         if cfg.attention_impl == "tiled" and non_mask_len == 0:
             return masked_topk_attention_tiled(
                 query,

@@ -1,0 +1,77 @@
+"""Pallas fused attention vs the XLA tiled kernel (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize(
+    "H,W,tile,radius,mask_shape",
+    [
+        (16, 16, 8, 4.0, "circle"),
+        (16, 16, 8, 3.0, "square"),
+        (24, 16, 8, 4.0, "circle"),
+    ],
+)
+def test_fused_matches_tiled(H, W, tile, radius, mask_shape):
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+    from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
+
+    rng = np.random.default_rng(0)
+    T, C, Cv = 3, 8, 5
+    q = rng.standard_normal((H, W, C)).astype(np.float32)
+    k = rng.standard_normal((T, H, W, C)).astype(np.float32)
+    v = rng.standard_normal((T, H, W, Cv)).astype(np.float32)
+    valid = np.array([True, True, False])
+
+    ref = np.asarray(
+        masked_topk_attention_tiled(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            radius=radius, temperature=0.07, topk=4, tile=tile,
+            mask_shape=mask_shape, key_valid=jnp.asarray(valid),
+        )
+    )
+    out = np.asarray(
+        fused_topk_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            radius=radius, temperature=0.07, topk=4, tile=tile,
+            mask_shape=mask_shape, key_valid=jnp.asarray(valid),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_duplicate_first_frame_keys():
+    """Early propagation steps duplicate frame 0 in the key set; the fused
+    kernel must weight duplicates exactly like the top-k reference."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+    from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
+
+    rng = np.random.default_rng(1)
+    H = W = 16
+    C, Cv = 8, 3
+    f0 = rng.standard_normal((H, W, C)).astype(np.float32)
+    k = np.stack([f0, f0, rng.standard_normal((H, W, C)).astype(np.float32)])
+    # duplicated key frames carry IDENTICAL values in the real eval (both
+    # slots hold the first-frame label map) — the fused kernel's fractional
+    # tie split is then bit-equivalent to pick-one-copy top-k
+    v0 = rng.standard_normal((H, W, Cv)).astype(np.float32)
+    v = np.stack([v0, v0, rng.standard_normal((H, W, Cv)).astype(np.float32)])
+
+    ref = np.asarray(
+        masked_topk_attention_tiled(
+            jnp.asarray(f0), jnp.asarray(k), jnp.asarray(v),
+            radius=4.0, temperature=0.07, topk=4, tile=8,
+        )
+    )
+    out = np.asarray(
+        fused_topk_attention(
+            jnp.asarray(f0), jnp.asarray(k), jnp.asarray(v),
+            radius=4.0, temperature=0.07, topk=4, tile=8, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
