@@ -1,0 +1,139 @@
+"""Training harness: the train_model equivalent.
+
+Replaces the reference's runner/hook orchestration
+(/root/reference/mmpt/apis/train.py:43, core/runner/*) with a plain loop:
+
+  * data-parallel mesh (batch sharded over 'data'; XLA inserts gradient
+    psum and global-batch BN — the DDP + SyncBN equivalent),
+  * jitted MixedTrainer step, per-step loss logging (JSONL + optional
+    TensorBoard via tensorboardX),
+  * orbax checkpoint every `ckpt_interval` steps + resume,
+  * optional teacher EMA update (the EMAHook_MoCo equivalent,
+    /root/reference/mmpt/core/hooks/ema_hook.py:5) — the shipped recipe
+    freezes the teacher instead, so it defaults off.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+
+from fgvc_tpu.config import TrainConfig
+from fgvc_tpu.core.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from fgvc_tpu.core.train import MixedTrainer
+from fgvc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def ema_update(teacher_vars, params_backbone, momentum: float = 0.999):
+    """teacher ← m·teacher + (1-m)·student (MoCo-style)."""
+    import jax.numpy as jnp
+
+    def mix(t, s):
+        return momentum * t + (1.0 - momentum) * s
+
+    new_params = jax.tree_util.tree_map(
+        mix, teacher_vars["params"], params_backbone
+    )
+    return {**teacher_vars, "params": new_params}
+
+
+def train_model(
+    cfg: TrainConfig,
+    batches: Iterable,
+    work_dir: str,
+    steps_per_epoch: int,
+    max_steps: Optional[int] = None,
+    ckpt_interval: Optional[int] = None,
+    log_interval: int = 50,
+    resume: bool = True,
+    teacher_init: Optional[str] = None,
+    teacher_ema: Optional[float] = None,
+):
+    """Run mixed training over an iterable of host batches."""
+    os.makedirs(work_dir, exist_ok=True)
+    mesh = make_mesh()
+    trainer = MixedTrainer(cfg)
+    state, teacher_vars, tx = trainer.init(
+        jax.random.PRNGKey(cfg.seed), steps_per_epoch
+    )
+    if teacher_init:
+        from fgvc_tpu.models.torch_convert import (
+            convert_resnet_state_dict,
+            load_torch_state_dict,
+        )
+
+        teacher_vars = convert_resnet_state_dict(
+            load_torch_state_dict(teacher_init)
+        )
+
+    start = 0
+    if resume:
+        path = latest_checkpoint(work_dir)
+        if path:
+            state, teacher_vars, start = restore_checkpoint(
+                path, state, teacher_vars
+            )
+            print(f"resumed from {path} (step {start})", flush=True)
+
+    step_fn = trainer.make_train_step(tx)
+    total = max_steps or cfg.max_epochs * steps_per_epoch
+    ckpt_interval = ckpt_interval or max(total // 2, 1)
+
+    log_path = os.path.join(work_dir, "train_log.jsonl")
+    tb = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(work_dir, "tb"))
+    except Exception:
+        pass
+
+    with mesh:
+        state = replicate(state, mesh)
+        teacher_vars = replicate(teacher_vars, mesh)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        t0 = time.time()
+        step = start
+        for batch in batches:
+            if step >= total:
+                break
+            rng, sub = jax.random.split(rng)
+            batch = shard_batch(batch, mesh)
+            state, losses = step_fn(state, teacher_vars, batch, sub)
+            if teacher_ema is not None:
+                teacher_vars = ema_update(
+                    teacher_vars, state.params["backbone"], teacher_ema
+                )
+            step += 1
+
+            if step % log_interval == 0 or step == total:
+                vals = {k: float(v) for k, v in losses.items()}
+                vals["step"] = step
+                vals["steps_per_sec"] = log_interval / max(
+                    time.time() - t0, 1e-9
+                )
+                t0 = time.time()
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(vals) + "\n")
+                if tb:
+                    for k, v in vals.items():
+                        tb.add_scalar(k, v, step)
+                print(
+                    f"step {step}/{total} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
+                    flush=True,
+                )
+            if step % ckpt_interval == 0 or step == total:
+                path = save_checkpoint(work_dir, state, teacher_vars, step)
+                print(f"saved {path}", flush=True)
+
+    return state, teacher_vars

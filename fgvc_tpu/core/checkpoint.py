@@ -1,0 +1,66 @@
+"""Checkpoint save/resume via orbax — the mmcv checkpoint equivalent.
+
+Replaces epoch_{n}.pth + latest.pth symlinks + runner.resume
+(/root/reference/mmpt/core/runner/epoch_based_runner.py:135-241) with orbax
+StandardCheckpointer directories `step_{n}` plus a `latest` pointer file.
+Saves params, batch_stats, optimizer state, and step together so resume is
+exact (including Adam moments, like save_optimizer=True).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+
+def save_checkpoint(work_dir: str, state, teacher_vars, step: int) -> str:
+    import jax
+    import orbax.checkpoint as ocp
+
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(work_dir, f"step_{step}"))
+    ckpt = ocp.StandardCheckpointer()
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": jax.numpy.asarray(step),
+        "teacher": teacher_vars,
+    }
+    ckpt.save(path, payload, force=True)
+    ckpt.wait_until_finished()
+    with open(os.path.join(work_dir, "latest"), "w") as f:
+        f.write(f"step_{step}")
+    return path
+
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    pointer = os.path.join(work_dir, "latest")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        name = f.read().strip()
+    path = os.path.join(work_dir, name)
+    return path if os.path.exists(path) else None
+
+
+def restore_checkpoint(path: str, state, teacher_vars) -> Tuple[Any, Any, int]:
+    """Restore into the given (abstract or concrete) state structures."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "teacher": teacher_vars,
+    }
+    restored = ckpt.restore(os.path.abspath(path), target)
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return new_state, restored["teacher"], int(restored["step"])

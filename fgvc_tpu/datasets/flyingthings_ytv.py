@@ -1,0 +1,298 @@
+"""Mixed training dataset: YouTube-VOS frame pairs + FlyingThings3D flow pairs.
+
+Re-design of Flyingthings_ytv_dataset_rgb
+(/root/reference/mmpt/datasets/flyingthingsplus/flyingthings_ytv_dataset.py:31):
+
+  * unlabeled branch: 2-frame clips randomly sampled from YouTube-VOS videos
+    (json video index, JPEG frame dirs), augmented with RandomResizedCrop
+    (area 0.6-1.0, aspect 1.5-2.0) → resize 256² → random flip → gaussian
+    blur (p=0.8) → RGB→Lab → normalize,
+  * supervised branch: FlyingThings3D cleanpass frame pairs with PFM
+    forward/backward flow, frame order swapped so the correlation target is
+    frame2→frame1 (the reference's convention), random 256² crop (images
+    and flows cropped together) → blur → Lab → normalize,
+  * each __getitem__ returns the 4-key dict the mixed loss consumes:
+    imgs (2, H, W, 3), imgs_sup (2, H, W, 3), flow (H, W, 2),
+    flow_back (H, W, 2) — float32, Lab-normalized, channels-last.
+
+`SyntheticMixedDataset` generates the same protocol from noise for smoke
+tests and dry runs when no data is mounted.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from fgvc_tpu.config import TrainConfig
+
+LAB_MEAN = np.array([50.0, 0.0, 0.0], np.float32)
+LAB_STD = np.array([50.0, 127.0, 127.0], np.float32)
+
+
+# --------------------------------------------------------------------- #
+# readers
+# --------------------------------------------------------------------- #
+def read_pfm(path: str) -> np.ndarray:
+    """Read a PFM file (FlyingThings3D optical flow format)."""
+    with open(path, "rb") as f:
+        header = f.readline().decode("latin-1").strip()
+        if header not in ("PF", "Pf"):
+            raise ValueError(f"not a PFM file: {path}")
+        color = header == "PF"
+        dims = f.readline().decode("latin-1")
+        while dims.startswith("#"):
+            dims = f.readline().decode("latin-1")
+        m = re.match(r"^(\d+)\s+(\d+)\s*$", dims)
+        if not m:
+            raise ValueError(f"malformed PFM dims in {path}")
+        w, h = int(m.group(1)), int(m.group(2))
+        scale = float(f.readline().decode("latin-1").strip())
+        endian = "<" if scale < 0 else ">"
+        data = np.fromfile(f, endian + "f")
+    shape = (h, w, 3) if color else (h, w)
+    data = data.reshape(shape)
+    return np.flipud(data).copy()
+
+
+def read_flow_pfm(path: str) -> np.ndarray:
+    """(H, W, 2) flow from a FlyingThings PFM (third channel dropped)."""
+    data = read_pfm(path)
+    if data.ndim == 3:
+        data = data[:, :, :2]
+    return data.astype(np.float32)
+
+
+# --------------------------------------------------------------------- #
+# augmentation pipeline (host-side numpy/cv2, like the reference's)
+# --------------------------------------------------------------------- #
+def rgb_to_lab_normalized(img_uint8: np.ndarray) -> np.ndarray:
+    import cv2
+
+    lab = cv2.cvtColor(np.float32(img_uint8) / 255.0, cv2.COLOR_RGB2Lab)
+    return (lab - LAB_MEAN) / LAB_STD
+
+
+def random_resized_crop_params(
+    rng: np.random.Generator,
+    h: int,
+    w: int,
+    area_range=(0.6, 1.0),
+    aspect_range=(1.5, 2.0),
+) -> Tuple[int, int, int, int]:
+    """(y, x, ch, cw) crop with area/aspect sampling (augmentation.py:198)."""
+    for _ in range(10):
+        area = rng.uniform(*area_range) * h * w
+        aspect = rng.uniform(*aspect_range)
+        cw = int(round(np.sqrt(area * aspect)))
+        ch = int(round(np.sqrt(area / aspect)))
+        if rng.random() < 0.5:
+            cw, ch = ch, cw
+        if cw <= w and ch <= h:
+            y = rng.integers(0, h - ch + 1)
+            x = rng.integers(0, w - cw + 1)
+            return int(y), int(x), ch, cw
+    s = min(h, w)
+    return (h - s) // 2, (w - s) // 2, s, s
+
+
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    import cv2
+
+    k = 2 * int(4 * sigma + 0.5) + 1
+    return cv2.GaussianBlur(img, (k, k), sigma)
+
+
+class UnsupPipeline:
+    """YTV branch: RandomResizedCrop → resize → flip → blur → Lab-norm."""
+
+    def __init__(self, out_size: int = 256, blur_p: float = 0.8):
+        self.out_size = out_size
+        self.blur_p = blur_p
+
+    def __call__(self, frames: List[np.ndarray], rng: np.random.Generator):
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        y, x, ch, cw = random_resized_crop_params(rng, h, w)
+        flip = rng.random() < 0.5
+        do_blur = rng.random() < self.blur_p
+        sigma = rng.uniform(0.1, 2.0) if do_blur else 0.0
+        out = []
+        for f in frames:
+            f = f[y : y + ch, x : x + cw]
+            f = cv2.resize(
+                f, (self.out_size, self.out_size), interpolation=cv2.INTER_LINEAR
+            )
+            if flip:
+                f = f[:, ::-1]
+            if do_blur:
+                f = gaussian_blur(f, sigma)
+            out.append(rgb_to_lab_normalized(np.ascontiguousarray(f)))
+        return np.stack(out)  # (2, S, S, 3)
+
+
+class SupPipeline:
+    """FlyingThings branch: random 256² crop of frames AND flows → blur →
+    Lab-norm (flow values are not rescaled — crop preserves pixel units)."""
+
+    def __init__(self, crop: int = 256, blur_p: float = 0.8):
+        self.crop = crop
+        self.blur_p = blur_p
+
+    def __call__(self, frames, flow, flow_back, rng: np.random.Generator):
+        h, w = frames[0].shape[:2]
+        c = self.crop
+        y = int(rng.integers(0, max(h - c, 0) + 1))
+        x = int(rng.integers(0, max(w - c, 0) + 1))
+        do_blur = rng.random() < self.blur_p
+        sigma = rng.uniform(0.1, 2.0) if do_blur else 0.0
+        imgs = []
+        for f in frames:
+            f = f[y : y + c, x : x + c]
+            if do_blur:
+                f = gaussian_blur(f, sigma)
+            imgs.append(rgb_to_lab_normalized(np.ascontiguousarray(f)))
+        return (
+            np.stack(imgs),
+            flow[y : y + c, x : x + c].astype(np.float32),
+            flow_back[y : y + c, x : x + c].astype(np.float32),
+        )
+
+
+# --------------------------------------------------------------------- #
+# datasets
+# --------------------------------------------------------------------- #
+class FlyingThingsYtvDataset:
+    """The mixed training set: each sample pairs one YTV clip with one
+    FlyingThings flow pair (flyingthings_ytv_dataset.py:106-169)."""
+
+    def __init__(
+        self,
+        ytv_root: str,
+        flyingthings_root: str,
+        ytv_list: Optional[str] = None,
+        crop: int = 256,
+        seed: int = 0,
+    ):
+        self.crop = crop
+        self.unsup_pipe = UnsupPipeline(out_size=crop)
+        self.sup_pipe = SupPipeline(crop=crop)
+        self.rng = np.random.default_rng(seed)
+
+        # YTV video index: json meta {videos: {vid: ...}} or directory scan
+        self.ytv_videos: List[List[str]] = []
+        prefix = os.path.join(ytv_root, "train/JPEGImages_s256")
+        if ytv_list and os.path.exists(ytv_list):
+            with open(ytv_list) as f:
+                meta = json.load(f)
+            vids = meta.get("videos", meta)
+            for vid in sorted(vids):
+                frames = sorted(glob.glob(os.path.join(prefix, vid, "*.jpg")))
+                if len(frames) >= 2:
+                    self.ytv_videos.append(frames)
+        else:
+            for vdir in sorted(glob.glob(os.path.join(prefix, "*"))):
+                frames = sorted(glob.glob(os.path.join(vdir, "*.jpg")))
+                if len(frames) >= 2:
+                    self.ytv_videos.append(frames)
+
+        # FlyingThings pairs: cleanpass frames + into_future/into_past PFM
+        self.fly_pairs: List[Dict] = []
+        img_root = os.path.join(flyingthings_root, "frames_cleanpass/TRAIN")
+        flow_root = os.path.join(flyingthings_root, "optical_flow/TRAIN")
+        for img_dir in sorted(glob.glob(os.path.join(img_root, "*/*/left"))):
+            rel = os.path.relpath(img_dir, img_root)  # e.g. A/0000/left
+            scene = os.path.dirname(rel)
+            frames = sorted(
+                glob.glob(os.path.join(img_dir, "*.png"))
+                + glob.glob(os.path.join(img_dir, "*.webp"))
+            )
+            for i in range(len(frames) - 1):
+                n0 = int(os.path.splitext(os.path.basename(frames[i]))[0])
+                n1 = n0 + 1
+                fwd = os.path.join(
+                    flow_root, scene, "into_future/left",
+                    f"OpticalFlowIntoFuture_{n0:04d}_L.pfm",
+                )
+                bwd = os.path.join(
+                    flow_root, scene, "into_past/left",
+                    f"OpticalFlowIntoPast_{n1:04d}_L.pfm",
+                )
+                if os.path.exists(fwd) and os.path.exists(bwd):
+                    self.fly_pairs.append(
+                        dict(f0=frames[i], f1=frames[i + 1], fwd=fwd, bwd=bwd)
+                    )
+
+    def __len__(self):
+        return max(len(self.ytv_videos), 1)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        rng = self.rng
+        frames = self.ytv_videos[idx % len(self.ytv_videos)]
+        t0 = int(rng.integers(0, len(frames) - 1))
+        clip = [
+            cv2.cvtColor(cv2.imread(frames[t]), cv2.COLOR_BGR2RGB)
+            for t in (t0, t0 + 1)
+        ]
+        imgs = self.unsup_pipe(clip, rng)
+
+        pair = self.fly_pairs[int(rng.integers(0, len(self.fly_pairs)))]
+        f0 = cv2.cvtColor(cv2.imread(pair["f0"]), cv2.COLOR_BGR2RGB)
+        f1 = cv2.cvtColor(cv2.imread(pair["f1"]), cv2.COLOR_BGR2RGB)
+        fwd = read_flow_pfm(pair["fwd"])
+        bwd = read_flow_pfm(pair["bwd"])
+        # Reference convention: frame order swapped so the student's
+        # correlation maps frame2 → frame1; 'flow' maps frame-1 pixels to
+        # frame-0 positions (flyingthings_ytv_dataset.py:74-99).
+        imgs_sup, flow, flow_back = self.sup_pipe([f1, f0], bwd, fwd, rng)
+
+        return {
+            "imgs": imgs.astype(np.float32),
+            "imgs_sup": imgs_sup.astype(np.float32),
+            "flow": flow,
+            "flow_back": flow_back,
+        }
+
+
+class SyntheticMixedDataset:
+    """Noise data with the mixed-training sample protocol (for smoke tests
+    and environments without the datasets mounted)."""
+
+    def __init__(self, crop: int = 256, length: int = 64, seed: int = 0):
+        self.crop = crop
+        self.length = length
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.seed + idx)
+        s = self.crop
+        return {
+            "imgs": rng.standard_normal((2, s, s, 3)).astype(np.float32),
+            "imgs_sup": rng.standard_normal((2, s, s, 3)).astype(np.float32),
+            "flow": (rng.standard_normal((s, s, 2)) * 3).astype(np.float32),
+            "flow_back": (rng.standard_normal((s, s, 2)) * 3).astype(np.float32),
+        }
+
+
+def make_batches(dataset, batch_size: int, steps: int):
+    """Simple batching iterator (single-process host loader)."""
+    i = 0
+    for _ in range(steps):
+        samples = []
+        for _ in range(batch_size):
+            samples.append(dataset[i % len(dataset)])
+            i += 1
+        yield {
+            k: np.stack([s[k] for s in samples]) for k in samples[0]
+        }

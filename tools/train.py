@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Training CLI — the tools/train.py of the framework.
+
+Mirrors the reference's interface shape (/root/reference/tools/train.py):
+
+    python tools/train.py --ytv-root <dir> --flyingthings-root <dir> \
+        --work-dir runs/mixed [--resume] [--teacher ckpt.pth]
+
+With --synthetic (no datasets mounted) it trains on noise — useful for
+smoke tests and throughput measurement.  Data parallelism spans all local
+devices automatically (batch must divide the device count).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="fgvc_tpu mixed training")
+    parser.add_argument("--ytv-root", default=None)
+    parser.add_argument("--flyingthings-root", default=None)
+    parser.add_argument("--ytv-list", default=None)
+    parser.add_argument("--work-dir", default="runs/mixed")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--crop", type=int, default=256)
+    parser.add_argument("--radius", type=int, default=24)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--teacher", default=None, help="teacher .pth")
+    parser.add_argument("--teacher-ema", type=float, default=None)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from fgvc_tpu.apis.train import train_model
+    from fgvc_tpu.config import TrainConfig
+    from fgvc_tpu.datasets.flyingthings_ytv import (
+        FlyingThingsYtvDataset,
+        SyntheticMixedDataset,
+        make_batches,
+    )
+
+    cfg = TrainConfig(
+        radius=args.radius,
+        crop_size=args.crop,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        seed=args.seed,
+    )
+
+    if args.synthetic or not args.ytv_root:
+        dataset = SyntheticMixedDataset(crop=args.crop, seed=args.seed)
+    else:
+        dataset = FlyingThingsYtvDataset(
+            args.ytv_root,
+            args.flyingthings_root,
+            ytv_list=args.ytv_list,
+            crop=args.crop,
+            seed=args.seed,
+        )
+
+    steps_per_epoch = args.steps_per_epoch or max(
+        len(dataset) // args.batch_size, 1
+    )
+    total = args.max_steps or cfg.max_epochs * steps_per_epoch
+    batches = make_batches(dataset, args.batch_size, total)
+
+    train_model(
+        cfg,
+        batches,
+        args.work_dir,
+        steps_per_epoch=steps_per_epoch,
+        max_steps=args.max_steps,
+        resume=not args.no_resume,
+        teacher_init=args.teacher,
+        teacher_ema=args.teacher_ema,
+    )
+
+
+if __name__ == "__main__":
+    main()
