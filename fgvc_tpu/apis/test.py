@@ -163,26 +163,29 @@ def run_task(
     test_cfg: Optional[TestConfig] = None,
 ) -> Dict[str, float]:
     """Mirror of `tools/test.py --task ...` (tools/test.py:121-198)."""
+    from fgvc_tpu.parallel.dist import process_info
+
+    rank, world = process_info()
     cfg = test_cfg or TASK_CONFIGS[task]
     tracker = build_tracker(cfg, checkpoint)
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 
         ds = TapVidDataset(data_root, subset_name=task, query_mode="first")
-        return eval_tapvid(tracker, ds, max_videos, output_dir=output_dir)
+        return eval_tapvid(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
     if task == "jhmdb":
         from fgvc_tpu.datasets.jhmdb import JhmdbDataset
 
         ds = JhmdbDataset(data_root, list_path or data_root)
-        return eval_jhmdb(tracker, ds, max_videos, output_dir=output_dir)
+        return eval_jhmdb(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
     if task == "badja":
         from fgvc_tpu.datasets.badja import BadjaDataset
 
         ds = BadjaDataset(data_root, list_path or data_root)
-        return eval_badja(tracker, ds, max_videos, output_dir=output_dir)
+        return eval_badja(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
     if task == "vos":
         from fgvc_tpu.datasets.davis_vos import DavisVosDataset
 
         ds = DavisVosDataset(data_root, split_list=list_path)
-        return eval_vos(tracker, ds, max_videos, output_dir=output_dir)
+        return eval_vos(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
     raise ValueError(f"unknown task {task}")

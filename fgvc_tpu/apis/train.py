@@ -46,6 +46,34 @@ def ema_update(teacher_vars, params_backbone, momentum: float = 0.999):
     return {**teacher_vars, "params": new_params}
 
 
+def make_tapvid_val_fn(data_root: str, test_cfg=None, max_videos: int = 4):
+    """Mid-training evaluation on TAP-Vid — the DistEvalHook_Custom
+    equivalent (/root/reference/mmpt/core/evaluation/eval_hooks.py:345):
+    the current student weights become the eval twin (copy_params →
+    VanillaTracker) and the standard propagation eval runs on a few videos.
+    """
+    from fgvc_tpu.apis.test import TASK_CONFIGS, eval_tapvid
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+    from fgvc_tpu.models.resnet import resnet18_d1
+    from fgvc_tpu.models.tracker import Tracker
+
+    cfg = test_cfg or TASK_CONFIGS["davis"]
+    dataset = TapVidDataset(data_root, subset_name="davis", query_mode="first")
+    model = resnet18_d1()
+
+    def val_fn(state):
+        variables = {
+            "params": jax.device_get(state.params)["backbone"],
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        tracker = Tracker(
+            lambda v, x: model.apply(v, x, train=False), variables, cfg
+        )
+        return eval_tapvid(tracker, dataset, max_videos=max_videos)
+
+    return val_fn
+
+
 def train_model(
     cfg: TrainConfig,
     batches: Iterable,
@@ -57,6 +85,8 @@ def train_model(
     resume: bool = True,
     teacher_init: Optional[str] = None,
     teacher_ema: Optional[float] = None,
+    val_fn=None,
+    val_interval: Optional[int] = None,
 ):
     """Run mixed training over an iterable of host batches."""
     os.makedirs(work_dir, exist_ok=True)
@@ -135,5 +165,14 @@ def train_model(
             if step % ckpt_interval == 0 or step == total:
                 path = save_checkpoint(work_dir, state, teacher_vars, step)
                 print(f"saved {path}", flush=True)
+            if (
+                val_fn is not None
+                and val_interval
+                and (step % val_interval == 0 or step == total)
+            ):
+                metrics = val_fn(state)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({"step": step, "val": metrics}) + "\n")
+                print(f"[val @ {step}] {metrics}", flush=True)
 
     return state, teacher_vars

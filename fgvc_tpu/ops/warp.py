@@ -81,9 +81,54 @@ def forward_backward_consistency(
     return (sq_diff < sum_sq * 0.01 + 0.5).astype(flow_fw.dtype)
 
 
-def occlusion_masks(flow_fw: jax.Array, flow_bw: jax.Array):
-    """dict(occ_fw, occ_bw) masks via forward-backward consistency."""
-    return {
-        "occ_fw": forward_backward_consistency(flow_fw, flow_bw),
-        "occ_bw": forward_backward_consistency(flow_bw, flow_fw),
-    }
+def forward_backward_absdiff(
+    flow_fw: jax.Array, flow_bw: jax.Array, diff: float = 1.5
+) -> jax.Array:
+    """(H, W) mask: |f_fw + warp(f_bw, f_fw)| < diff (fb_abs mode,
+    occlusion_estimation.py:122)."""
+    warped_bw = backward_warp(flow_bw, flow_fw)
+    sq = jnp.sum((flow_fw + warped_bw) ** 2, axis=-1)
+    return (jnp.sqrt(sq) < diff).astype(flow_fw.dtype)
+
+
+def compute_range_map(flow: jax.Array) -> jax.Array:
+    """Soft occupancy count of flow targets via bilinear scatter-add
+    (range_map mode: pixels nobody flows into are likely occluded)."""
+    H, W, _ = flow.shape
+    gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    tx = (gx + flow[..., 0]).reshape(-1)
+    ty = (gy + flow[..., 1]).reshape(-1)
+
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    counts = jnp.zeros((H, W), jnp.float32)
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi = x0 + dx
+        yi = y0 + dy
+        w = (1 - jnp.abs(tx - xi)) * (1 - jnp.abs(ty - yi))
+        inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        counts = counts.at[yi_c, xi_c].add(jnp.where(inside, w, 0.0))
+    return counts
+
+
+def occlusion_masks(
+    flow_fw: jax.Array, flow_bw: jax.Array, mode: str = "consistency", **kw
+):
+    """dict(occ_fw, occ_bw): 1 = non-occluded.  Modes mirror
+    occlusion_estimation (occlusion_estimation.py:148): 'consistency',
+    'fb_abs', or 'range_map' (thresholded target coverage)."""
+    if mode == "consistency":
+        fw = forward_backward_consistency(flow_fw, flow_bw)
+        bw = forward_backward_consistency(flow_bw, flow_fw)
+    elif mode == "fb_abs":
+        fw = forward_backward_absdiff(flow_fw, flow_bw, **kw)
+        bw = forward_backward_absdiff(flow_bw, flow_fw, **kw)
+    elif mode == "range_map":
+        fw = (compute_range_map(flow_bw) > 0.5).astype(flow_fw.dtype)
+        bw = (compute_range_map(flow_fw) > 0.5).astype(flow_fw.dtype)
+    else:
+        raise ValueError(f"unknown occlusion mode {mode}")
+    return {"occ_fw": fw, "occ_bw": bw}

@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--teacher-ema", type=float, default=None)
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--val-data-root", default=None,
+                        help="TAP-Vid DAVIS shards for mid-training eval")
+    parser.add_argument("--val-interval", type=int, default=None)
+    parser.add_argument("--val-videos", type=int, default=4)
     args = parser.parse_args()
 
     import jax
@@ -42,7 +46,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from fgvc_tpu.apis.train import train_model
+    from fgvc_tpu.apis.train import make_tapvid_val_fn, train_model
     from fgvc_tpu.config import TrainConfig
     from fgvc_tpu.datasets.flyingthings_ytv import (
         FlyingThingsYtvDataset,
@@ -75,6 +79,11 @@ def main():
     total = args.max_steps or cfg.max_epochs * steps_per_epoch
     batches = make_batches(dataset, args.batch_size, total)
 
+    val_fn = (
+        make_tapvid_val_fn(args.val_data_root, max_videos=args.val_videos)
+        if args.val_data_root
+        else None
+    )
     train_model(
         cfg,
         batches,
@@ -84,6 +93,9 @@ def main():
         resume=not args.no_resume,
         teacher_init=args.teacher,
         teacher_ema=args.teacher_ema,
+        val_fn=val_fn,
+        val_interval=args.val_interval
+        or (steps_per_epoch * max(cfg.max_epochs // 2, 1) if val_fn else None),
     )
 
 
