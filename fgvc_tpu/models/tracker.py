@@ -100,10 +100,13 @@ class Tracker:
     # ------------------------------------------------------------------ #
     # propagation core
     # ------------------------------------------------------------------ #
-    def _attention_step(self, query, keys, values, key_valid, mask_shape):
+    def _attention_step(
+        self, query, keys, values, key_valid, mask_shape, pre_normalized=False
+    ):
         cfg = self.cfg
         radius = cfg.neighbor_range // 2
         non_mask_len = 0 if cfg.with_first_neighbor else 1
+        do_norm = cfg.with_norm and not pre_normalized
         if cfg.attention_impl == "pallas" and non_mask_len == 0:
             from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
 
@@ -114,7 +117,7 @@ class Tracker:
                 radius=float(radius),
                 temperature=cfg.temperature,
                 topk=cfg.topk,
-                normalize=cfg.with_norm,
+                normalize=do_norm,
                 tile=cfg.tile,
                 mask_shape=mask_shape,
                 key_valid=key_valid,
@@ -130,7 +133,7 @@ class Tracker:
                 radius=float(radius),
                 temperature=cfg.temperature,
                 topk=cfg.topk,
-                normalize=cfg.with_norm,
+                normalize=do_norm,
                 tile=cfg.tile,
                 mask_shape=mask_shape,
                 key_valid=key_valid,
@@ -144,7 +147,7 @@ class Tracker:
             radius=float(radius),
             temperature=cfg.temperature,
             topk=cfg.topk,
-            normalize=cfg.with_norm,
+            normalize=do_norm,
             step=cfg.step,
             non_mask_len=non_mask_len,
             mask_shape=mask_shape,
@@ -158,6 +161,12 @@ class Tracker:
         """
         cfg = self.cfg
         T = feats.shape[0]
+        if cfg.with_norm:
+            # normalize the bank ONCE instead of re-normalizing all six
+            # window frames inside every scan step
+            from fgvc_tpu.ops.attention import l2_normalize
+
+            feats = l2_normalize(feats)
         first_feat = feats[0]
 
         def step(value_buf, t):
@@ -173,7 +182,8 @@ class Tracker:
                 [jnp.ones((1,), bool), win_valid], axis=0
             )
             seg_logit = self._attention_step(
-                query, keys, values, key_valid, mask_shape
+                query, keys, values, key_valid, mask_shape,
+                pre_normalized=cfg.with_norm,
             )
             new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
             return new_buf, emit(seg_logit)

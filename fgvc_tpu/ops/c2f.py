@@ -119,3 +119,74 @@ def masked_attention_c2f(
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(hc, wc, Cv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "temperature", "topk")
+)
+def flow_guided_attention(
+    corr: jax.Array,    # (T, Hq, Wq, H, W) correlation volumes per key frame
+    flow: jax.Array,    # (T, Hq, Wq, 2) query->key flow predictions
+    value: jax.Array,   # (T, H, W, Cv) label maps on the key frames
+    *,
+    radius: int = 6,
+    temperature: float = 0.07,
+    topk: int = 10,
+) -> jax.Array:
+    """Flow-predicted-center local attention
+    (flow_guided_attention_efficient, local_attention.py:512-718).
+
+    For each query pixel the candidate keys are a (2r+1)² window bilinearly
+    sampled from the precomputed correlation map around (pixel + flow);
+    values are sampled at the same points; top-k softmax propagates them.
+    Returns (Hq, Wq, Cv).
+    """
+    from fgvc_tpu.ops.warp import bilinear_sample
+
+    T, Hq, Wq, H, W = corr.shape
+    Cv = value.shape[-1]
+    Q = Hq * Wq
+    r = radius
+    P2 = (2 * r + 1) ** 2
+
+    gy = jax.lax.broadcasted_iota(jnp.float32, (Hq, Wq), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (Hq, Wq), 1)
+    centers = jnp.stack(
+        [gx[None] + flow[..., 0], gy[None] + flow[..., 1]], axis=-1
+    ).reshape(T, Q, 2)
+
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    oy = jnp.repeat(offs, 2 * r + 1)
+    ox = jnp.tile(offs, 2 * r + 1)
+    pts = centers[:, :, None, :] + jnp.stack([ox, oy], -1)[None, None]  # (T,Q,P2,2)
+
+    corr_q = corr.reshape(T, Q, H, W)
+
+    def sample_corr_frame(corr_f, pts_f):
+        # corr_f (Q, H, W); pts_f (Q, P2, 2)
+        return jax.vmap(
+            lambda m, p: bilinear_sample(m[..., None], p)[..., 0]
+        )(corr_f, pts_f)
+
+    aff = jax.vmap(sample_corr_frame)(corr_q, pts) / temperature  # (T, Q, P2)
+
+    def sample_value_frame(v_f, pts_f):
+        # nearest sampling of values at the window points (reference uses
+        # mode='nearest' for the value lookup)
+        x = jnp.clip(jnp.round(pts_f[..., 0]), 0, W - 1).astype(jnp.int32)
+        y = jnp.clip(jnp.round(pts_f[..., 1]), 0, H - 1).astype(jnp.int32)
+        inside = (
+            (pts_f[..., 0] >= 0) & (pts_f[..., 0] <= W - 1)
+            & (pts_f[..., 1] >= 0) & (pts_f[..., 1] <= H - 1)
+        )
+        return v_f[y, x] * inside[..., None]
+
+    vals = jax.vmap(sample_value_frame)(value, pts)  # (T, Q, P2, Cv)
+
+    aff_flat = jnp.transpose(aff, (1, 0, 2)).reshape(Q, T * P2)
+    w, idx = jax.lax.top_k(aff_flat, topk)
+    w = jax.nn.softmax(w, axis=-1)
+    v_flat = jnp.transpose(vals, (1, 0, 2, 3)).reshape(Q, T * P2, Cv)
+    picked = jnp.take_along_axis(v_flat, idx[..., None], axis=1)
+    out = jnp.einsum("qk,qkc->qc", w, picked, preferred_element_type=jnp.float32)
+    return out.reshape(Hq, Wq, Cv)

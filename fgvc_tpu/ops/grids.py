@@ -73,7 +73,14 @@ def soft_argmax_topk(heatmaps: jax.Array, topk: int = 5) -> jax.Array:
     """
     width = heatmaps.shape[-1]
     flat = heatmaps.reshape(*heatmaps.shape[:-2], -1)
-    vals, idx = jax.lax.top_k(flat, topk)
+    if flat.shape[-1] > 4096 and flat.ndim == 2:
+        # long rows: segment-max prefiltered exact top-k is much cheaper
+        # than the bitonic sort behind lax.top_k (ops/topk.py)
+        from fgvc_tpu.ops.topk import topk_segmented
+
+        vals, idx = topk_segmented(flat, topk, seg=512)
+    else:
+        vals, idx = jax.lax.top_k(flat, topk)
     w = vals / (jnp.sum(vals, axis=-1, keepdims=True) + 1e-9)
     xs = (idx % width).astype(jnp.float32)
     ys = (idx // width).astype(jnp.float32)
