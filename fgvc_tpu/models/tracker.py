@@ -34,6 +34,7 @@ import numpy as np
 
 from fgvc_tpu.config import TestConfig
 from fgvc_tpu.ops.attention import masked_topk_attention
+from fgvc_tpu.ops.color import preprocess_rgb_to_lab_normalized
 from fgvc_tpu.ops.grids import draw_gaussian_maps, soft_argmax_topk
 from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
 
@@ -77,8 +78,6 @@ class Tracker:
         pixel crosses the host↔device link.  float input is assumed
         already preprocessed.
         """
-        from fgvc_tpu.ops.color import preprocess_rgb_to_lab_normalized
-
         T = video.shape[0]
         n = -(-T // chunk)
         pad = n * chunk - T

@@ -20,14 +20,17 @@ import jax.numpy as jnp
 _XN = 0.950456
 _ZN = 1.088754
 
-# RGB -> XYZ (linear, D65), rows = X, Y, Z.
-_RGB2XYZ = jnp.array(
+# RGB -> XYZ (linear, D65), rows = X, Y, Z.  Kept as numpy so importing
+# this module inside a jit trace can never capture a traced constant.
+import numpy as _np
+
+_RGB2XYZ = _np.array(
     [
         [0.412453, 0.357580, 0.180423],
         [0.212671, 0.715160, 0.072169],
         [0.019334, 0.119193, 0.950227],
     ],
-    dtype=jnp.float32,
+    dtype=_np.float32,
 )
 
 
@@ -51,7 +54,7 @@ def rgb_to_lab(rgb: jax.Array) -> jax.Array:
     linearization cv2 applies before the XYZ matrix.
     """
     rgb = _srgb_to_linear(rgb)
-    xyz = jnp.einsum("...c,dc->...d", rgb, _RGB2XYZ)
+    xyz = jnp.einsum("...c,dc->...d", rgb, jnp.asarray(_RGB2XYZ))
     x = _f(xyz[..., 0] / _XN)
     y = xyz[..., 1]
     fy = _f(y)
