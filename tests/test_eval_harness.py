@@ -1,0 +1,148 @@
+"""End-to-end eval harness regression: synthetic fixtures through the full
+dataset → tracker → metrics glue for all five tasks (tiny shapes, CPU)."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    import cv2
+    import scipy.io as sio
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = tmp_path_factory.mktemp("evalfix")
+
+    # JHMDB
+    jr = base / "jhmdb"
+    (jr / "videos/v1").mkdir(parents=True)
+    (jr / "lists").mkdir()
+    for t in range(4):
+        cv2.imwrite(
+            str(jr / f"videos/v1/{t:05d}.png"),
+            rng.integers(0, 256, (24, 32, 3), dtype=np.uint8),
+        )
+    sio.savemat(str(jr / "anno1.mat"), {"pos_img": rng.uniform(3, 20, (2, 15, 4)) + 1})
+    (jr / "lists/val_list.txt").write_text("anno1.mat videos/v1\n")
+
+    # BADJA
+    br = base / "badja"
+    (br / "JPEGImages/Full-Resolution/dog").mkdir(parents=True)
+    (br / "Annotations/Full-Resolution/dog").mkdir(parents=True)
+    (br / "joint_annotations").mkdir()
+    for t in range(3):
+        cv2.imwrite(
+            str(br / f"JPEGImages/Full-Resolution/dog/{t:05d}.jpg"),
+            rng.integers(0, 256, (32, 48, 3), dtype=np.uint8),
+        )
+        seg = np.zeros((32, 48), np.uint8)
+        seg[8:20, 12:30] = 1
+        cv2.imwrite(str(br / f"Annotations/Full-Resolution/dog/{t:05d}.png"), seg)
+    entries = [
+        {
+            "image_path": "badja/JPEGImages/Full-Resolution/dog/%05d.jpg" % t,
+            "segmentation_path": "badja/Annotations/Full-Resolution/dog/%05d.png" % t,
+            "joints": rng.uniform(3, 28, (37, 2)).tolist(),
+            "visibility": [1] * 37,
+        }
+        for t in (0, 2)
+    ]
+    (br / "joint_annotations/dog.json").write_text(json.dumps(entries))
+
+    # DAVIS VOS
+    vr = base / "davis"
+    (vr / "JPEGImages/480p/seq1").mkdir(parents=True)
+    (vr / "Annotations/480p/seq1").mkdir(parents=True)
+    (vr / "ImageSets/2017").mkdir(parents=True)
+    for t in range(3):
+        cv2.imwrite(
+            str(vr / f"JPEGImages/480p/seq1/{t:05d}.jpg"),
+            rng.integers(0, 256, (24, 40, 3), dtype=np.uint8),
+        )
+        m = np.zeros((24, 40), np.uint8)
+        m[5:12, 10:22] = 1
+        Image.fromarray(m, mode="P").save(
+            str(vr / f"Annotations/480p/seq1/{t:05d}.png")
+        )
+    (vr / "ImageSets/2017/val.txt").write_text("seq1\n")
+
+    # TAP-Vid shard
+    tr = base / "tapvid"
+    tr.mkdir()
+    import pickle
+
+    rec = {
+        "video": rng.integers(0, 256, (4, 24, 24, 3), dtype=np.uint8),
+        "points": rng.uniform(0.2, 0.8, (3, 4, 2)).astype(np.float32),
+        "occluded": np.zeros((3, 4), bool),
+    }
+    with open(tr / "vid1.pkl", "wb") as f:
+        pickle.dump(rec, f)
+
+    return dict(jhmdb=str(jr), badja=str(br), davis=str(vr), tapvid=str(tr))
+
+
+def _small_cfg(task, **kw):
+    from fgvc_tpu.apis.test import TASK_CONFIGS
+
+    return dataclasses.replace(
+        TASK_CONFIGS[task],
+        frame_bucket=4,
+        point_bucket=16,
+        neighbor_range=6,
+        tile=8,
+        **kw,
+    )
+
+
+def test_jhmdb_harness(fixtures):
+    from fgvc_tpu.apis.test import build_tracker, eval_jhmdb
+    from fgvc_tpu.datasets.jhmdb import JhmdbDataset
+
+    cfg = _small_cfg("jhmdb", input_size=(32, 32))
+    tr = build_tracker(cfg)
+    ds = JhmdbDataset(
+        fixtures["jhmdb"], os.path.join(fixtures["jhmdb"], "lists"),
+        input_size=(32, 32),
+    )
+    out = eval_jhmdb(tr, ds)
+    assert set(out) == {f"PCK@{a}" for a in (0.1, 0.2, 0.3, 0.4, 0.5)}
+    assert all(0 <= v <= 100 for v in out.values())
+
+
+def test_badja_harness(fixtures):
+    from fgvc_tpu.apis.test import build_tracker, eval_badja
+    from fgvc_tpu.datasets.badja import BadjaDataset
+
+    cfg = _small_cfg("badja", input_size=(32, 48))
+    tr = build_tracker(cfg)
+    ds = BadjaDataset(fixtures["badja"], fixtures["badja"], size=(32, 48), scale=2)
+    out = eval_badja(tr, ds)
+    assert "PCK@0.2" in out and 0 <= out["PCK@0.2"] <= 100
+
+
+def test_vos_harness(fixtures):
+    from fgvc_tpu.apis.test import build_tracker, eval_vos
+    from fgvc_tpu.datasets.davis_vos import DavisVosDataset
+
+    cfg = _small_cfg("vos", input_size=(24, 40))
+    tr = build_tracker(cfg)
+    ds = DavisVosDataset(fixtures["davis"], input_size=(24, 40))
+    out = eval_vos(tr, ds)
+    assert "J&F-Mean" in out and 0 <= out["J&F-Mean"] <= 1
+
+
+def test_tapvid_harness(fixtures):
+    from fgvc_tpu.apis.test import build_tracker, eval_tapvid
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+    cfg = _small_cfg("davis", input_size=(24, 24))
+    tr = build_tracker(cfg)
+    ds = TapVidDataset(fixtures["tapvid"], input_size=(24, 24))
+    out = eval_tapvid(tr, ds)
+    assert "average_pts_within_thresh" in out
