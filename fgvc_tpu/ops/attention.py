@@ -171,10 +171,11 @@ def masked_topk_attention(
                 in_range = (dy <= radius) & (dx <= radius)
             allowed = in_range[:, None, :] | frame_exempt[None, :, :]  # (S,T,HW)
             spatial_bias = jnp.where(allowed, 0.0, ninf)
+            bias = spatial_bias + frame_bias[None, :, None]
+            aff = aff + bias.reshape(step, T * HW)
         else:
-            spatial_bias = jnp.zeros((step, T, HW), jnp.float32)
-        bias = spatial_bias + frame_bias[None, :, None]
-        aff = aff + bias.reshape(step, T * HW)
+            # no spatial mask: only the per-frame validity bias applies
+            aff = aff + jnp.repeat(frame_bias, HW)[None, :]
 
         if topk is not None:
             w, idxs = jax.lax.top_k(aff, topk)  # (S, k)
