@@ -320,6 +320,94 @@ class Tracker:
         }
 
     # ------------------------------------------------------------------ #
+    # public API: forward-warp coordinate tracking
+    # ------------------------------------------------------------------ #
+    def _forward_coords_impl(
+        self,
+        feats: jax.Array,        # (T, h, w, C) — frame 0 is the query frame
+        init_coords: jax.Array,  # (P, 2) (x, y) full-res positions at frame 0
+        full_hw: Tuple[int, int],
+    ) -> jax.Array:
+        """Coordinate-map forward warping (HRVanillaTracker
+        forward_test_forward + get_coord, vanilla_tracker.py:445-488,591):
+
+        per frame, a square-window correlation between the window-start
+        frame and the current frame yields, for every start-frame pixel, the
+        top-k softmax EXPECTED full-resolution coordinate in the current
+        frame; each tracked point samples that coordinate map bilinearly at
+        its running position.  Returns (T, P, 2).
+        """
+        from fgvc_tpu.ops.local_corr import local_correlation
+        from fgvc_tpu.ops.warp import bilinear_sample
+
+        cfg = self.cfg
+        T, h, w, C = feats.shape
+        H, W = full_hw
+        scale = H // h
+        r = cfg.neighbor_range // 2
+        win = 2 * r + 1
+
+        from fgvc_tpu.ops.attention import l2_normalize
+
+        featsn = l2_normalize(feats) if cfg.with_norm else feats
+
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+        def coord_map(start, t):
+            corr = local_correlation(featsn[start], featsn[t], r)
+            corr = corr.reshape(h, w, win * win)
+            wts, idx = jax.lax.top_k(corr, cfg.topk)          # (h, w, k)
+            wts = jax.nn.softmax(wts / cfg.temperature, axis=-1)
+            di = (idx // win).astype(jnp.float32) - r
+            dj = (idx % win).astype(jnp.float32) - r
+            ky = gy[..., None] + di
+            kx = gx[..., None] + dj
+            inside = (ky >= 0) & (ky <= h - 1) & (kx >= 0) & (kx <= w - 1)
+            # zero-padded window slots carry (0, 0) coordinates, matching
+            # the reference's F.unfold zero padding of the coordinate grid
+            cy = jnp.where(inside, ky * scale, 0.0)
+            cx = jnp.where(inside, kx * scale, 0.0)
+            return jnp.stack(
+                [jnp.sum(wts * cx, -1), jnp.sum(wts * cy, -1)], axis=-1
+            )  # (h, w, 2) full-res expected coords
+
+        def step(coord, t):
+            start = jnp.maximum(t - cfg.precede_frames, 0)
+            cmap = coord_map(start, t)
+            new = bilinear_sample(cmap, coord / float(scale))  # (P, 2)
+            return new, new
+
+        _, coords = jax.lax.scan(step, init_coords, jnp.arange(1, T))
+        return jnp.concatenate([init_coords[None], coords], axis=0)
+
+    def track_points_forward(
+        self, video: np.ndarray, query_points: np.ndarray
+    ) -> Dict[str, np.ndarray]:
+        """Forward-warp tracking of (P, 3) (t, x, y) query points (all points
+        tracked from their query frame; pre-query frames stay zero)."""
+        cfg = self.cfg
+        T, H, W, _ = video.shape
+        P = query_points.shape[0]
+        feats = self._features_padded(video)
+
+        traj = np.zeros((T, P, 2), dtype=np.float32)
+        fwd = jax.jit(self._forward_coords_impl, static_argnames=("full_hw",))
+        for t in np.unique(query_points[:, 0].astype(np.int64)):
+            sel = np.nonzero(query_points[:, 0].astype(np.int64) == t)[0]
+            p_pad = _bucket(len(sel), cfg.point_bucket)
+            pts = np.zeros((p_pad, 2), np.float32)
+            pts[: len(sel)] = query_points[sel][:, 1:]
+            L_pad = _bucket(T - int(t), cfg.frame_bucket)
+            feats_g = jax.lax.dynamic_slice_in_dim(feats, int(t), L_pad, axis=0)
+            coords = np.array(fwd(feats_g, jnp.asarray(pts), (H, W)))
+            traj[int(t):, sel] = coords[: T - int(t), : len(sel)]
+        return {
+            "trajectories": traj,
+            "visibilities": np.zeros((T, P), dtype=bool),
+        }
+
+    # ------------------------------------------------------------------ #
     # public API: keypoint heatmap propagation (JHMDB / BADJA protocol)
     # ------------------------------------------------------------------ #
     def track_heatmaps(
