@@ -59,6 +59,33 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTran
     return optax.adam(make_schedule(cfg, steps_per_epoch), b1=cfg.betas[0], b2=cfg.betas[1])
 
 
+def make_multi_optimizer(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    overrides: Dict[str, optax.GradientTransformation],
+) -> optax.GradientTransformation:
+    """Per-submodule optimizers — the dict-of-optimizers equivalent
+    (/root/reference/mmpt/core/optimizer/builder.py:4-63).
+
+    Params whose TOP-LEVEL key (e.g. 'backbone', 'corr_disc') appears in
+    `overrides` use that transformation; everything else uses the default
+    Adam + schedule.
+    """
+    default = make_optimizer(cfg, steps_per_epoch)
+
+    def label_fn(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: (k if k in overrides else "__default__"), v
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"__default__": default, **overrides}, label_fn
+    )
+
+
 @dataclasses.dataclass
 class MixedTrainer:
     """Bundles the modules + pure loss/step functions of the mixed recipe."""

@@ -102,3 +102,33 @@ def test_spmd_matches_single_device():
 
     for k in l1:
         np.testing.assert_allclose(l1[k], l2[k], rtol=2e-4, atol=2e-4)
+
+
+def test_per_module_optimizers():
+    """Dict-of-optimizers parity: discriminators can run at their own LR."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fgvc_tpu.core.train import make_multi_optimizer
+
+    cfg, trainer, state, teacher_vars, _, batch = _tiny_setup()
+    tx = make_multi_optimizer(
+        cfg, 10, {"corr_disc": optax.sgd(0.0)}  # freeze the corr discriminator
+    )
+    opt_state = tx.init(state.params)
+    (_, _), grads = jax.value_and_grad(trainer.loss_fn, has_aux=True)(
+        state.params, state.batch_stats, teacher_vars, batch,
+        jax.random.PRNGKey(0),
+    )
+    updates, _ = tx.update(grads, opt_state, state.params)
+    disc_delta = sum(
+        float(jnp.abs(leaf).sum())
+        for leaf in jax.tree_util.tree_leaves(updates["corr_disc"])
+    )
+    bb_delta = sum(
+        float(jnp.abs(leaf).sum())
+        for leaf in jax.tree_util.tree_leaves(updates["backbone"])
+    )
+    assert disc_delta == 0.0  # frozen by the zero-lr override
+    assert bb_delta > 0.0
