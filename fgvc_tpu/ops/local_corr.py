@@ -25,7 +25,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["local_correlation", "extract_displacement_windows"]
+__all__ = [
+    "local_correlation",
+    "extract_displacement_windows",
+    "part_unfold",
+]
 
 
 def _band_indices(width: int, window: int) -> jax.Array:
@@ -100,3 +104,28 @@ def extract_displacement_windows(x: jax.Array, radius: int) -> jax.Array:
     _, bands = jax.lax.scan(one_di, None, jnp.arange(window))
     # (di, H, W, dj, C) -> (H, W, di, dj, C)
     return jnp.transpose(bands, (1, 2, 0, 3, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def part_unfold(x: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Gather (2R+1)² neighborhoods at arbitrary (possibly fractional) coords.
+
+    The sparse-unfold of the reference (part_unfold.py:13-53): for each of N
+    query coordinates, bilinearly sample the (2R+1)² window of `x` centered
+    at that coordinate (zeros outside the image).
+
+    Args:
+      x: (H, W, C) feature/value map.
+      coords: (N, 2) (x, y) float pixel coordinates.
+    Returns:
+      (N, 2R+1, 2R+1, C).
+    """
+    from fgvc_tpu.ops.warp import bilinear_sample
+
+    win = 2 * radius + 1
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    oy = jnp.repeat(offs, win)
+    ox = jnp.tile(offs, win)
+    pts = coords[:, None, :] + jnp.stack([ox, oy], axis=-1)[None]  # (N, win², 2)
+    out = bilinear_sample(x, pts)  # (N, win², C)
+    return out.reshape(coords.shape[0], win, win, x.shape[-1])

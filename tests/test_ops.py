@@ -177,3 +177,24 @@ def test_spatial_neighbor_mask_circle():
         (gy[:, None] - gy[None, :]) ** 2.0 + (gx[:, None] - gx[None, :]) ** 2.0
     )
     np.testing.assert_array_equal(m, d < 2)
+
+
+def test_part_unfold_fractional_coords():
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.local_corr import part_unfold
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((10, 12, 3)).astype(np.float32)
+    # integer coordinate reproduces the exact window
+    out = np.asarray(
+        part_unfold(jnp.asarray(x), jnp.asarray([[5.0, 4.0]]), radius=1)
+    )
+    np.testing.assert_allclose(out[0], x[3:6, 4:7], rtol=1e-5)
+    # half-pixel coordinate averages neighbors
+    out = np.asarray(
+        part_unfold(jnp.asarray(x), jnp.asarray([[5.5, 4.0]]), radius=0)
+    )
+    np.testing.assert_allclose(
+        out[0, 0, 0], (x[4, 5] + x[4, 6]) / 2, rtol=1e-5
+    )
