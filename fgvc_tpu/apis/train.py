@@ -133,6 +133,7 @@ def train_model(
         rng = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
         step = start
+        last_logged = start
         for batch in batches:
             if step >= total:
                 break
@@ -148,9 +149,10 @@ def train_model(
             if step % log_interval == 0 or step == total:
                 vals = {k: float(v) for k, v in losses.items()}
                 vals["step"] = step
-                vals["steps_per_sec"] = log_interval / max(
+                vals["steps_per_sec"] = (step - last_logged) / max(
                     time.time() - t0, 1e-9
                 )
+                last_logged = step
                 t0 = time.time()
                 with open(log_path, "a") as f:
                     f.write(json.dumps(vals) + "\n")
