@@ -157,29 +157,79 @@ class Tracker:
         """Shared scan over frames 1..T-1.
 
         emit(seg_logit (h, w, P)) -> per-frame output pytree.
+
+        Default (tiled) path runs in BANK mode: the feature bank is
+        normalized + halo-padded ONCE and each step's key-frame halos are
+        sliced per tile straight from it — no per-step 6-frame key
+        pad/concat/gather copies (~300 MB/frame of HBM traffic removed).
         """
         cfg = self.cfg
-        T = feats.shape[0]
-        if cfg.with_norm:
-            # normalize the bank ONCE instead of re-normalizing all six
-            # window frames inside every scan step
-            from fgvc_tpu.ops.attention import l2_normalize
+        T, h, w, C = feats.shape
+        non_mask_len = 0 if cfg.with_first_neighbor else 1
+        bank_mode = cfg.attention_impl == "tiled" and non_mask_len == 0
+        radius = cfg.neighbor_range // 2
+        halo = int(radius)
 
-            feats = l2_normalize(feats)
-        first_feat = feats[0]
+        from fgvc_tpu.ops.attention import l2_normalize
+        from fgvc_tpu.ops.windowed_attention import (
+            masked_topk_attention_tiled,
+            pad_key_bank,
+        )
 
-        def step(value_buf, t):
-            query = feats[t]
+        if bank_mode:
+            if cfg.with_norm:
+                bank_pad = pad_key_bank(feats, float(radius), cfg.tile)
+            else:
+                Hp = _bucket(h, cfg.tile)
+                Wp = _bucket(w, cfg.tile)
+                bank_pad = jnp.pad(
+                    feats,
+                    ((0, 0), (halo, halo + Hp - h), (halo, halo + Wp - w), (0, 0)),
+                )
+        else:
+            bank_pad = None
+            if cfg.with_norm:
+                feats = l2_normalize(feats)
+
+        def window_indices(t):
             offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
             win_idx = t + offs
             win_valid = win_idx >= 0
-            win_feats = feats[jnp.clip(win_idx, 0, T - 1)]
-
-            keys = jnp.concatenate([first_feat[None], win_feats], axis=0)
-            values = jnp.concatenate([first_value[None], value_buf], axis=0)
-            key_valid = jnp.concatenate(
-                [jnp.ones((1,), bool), win_valid], axis=0
+            idx = jnp.concatenate(
+                [jnp.zeros((1,), win_idx.dtype), jnp.clip(win_idx, 0, T - 1)]
             )
+            valid = jnp.concatenate([jnp.ones((1,), bool), win_valid])
+            return idx, valid
+
+        def step_bank(value_buf, t):
+            idx, key_valid = window_indices(t)
+            query = jax.lax.dynamic_slice(
+                bank_pad, (t, halo, halo, 0), (1, h, w, C)
+            )[0]
+            values = jnp.concatenate([first_value[None], value_buf], axis=0)
+            seg_logit = masked_topk_attention_tiled(
+                query,
+                bank_pad,
+                values,
+                radius=float(radius),
+                temperature=cfg.temperature,
+                topk=cfg.topk,
+                normalize=False,
+                tile=cfg.tile,
+                mask_shape=mask_shape,
+                key_valid=key_valid,
+                precision=cfg.matmul_precision,
+                topk_impl=cfg.topk_impl,
+                frame_idx=idx,
+            )
+            new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
+            return new_buf, emit(seg_logit)
+
+        def step_legacy(value_buf, t):
+            idx, key_valid = window_indices(t)
+            query = feats[t]
+            keys = feats[idx]
+            values = jnp.concatenate([first_value[None], value_buf], axis=0)
             seg_logit = self._attention_step(
                 query, keys, values, key_valid, mask_shape,
                 pre_normalized=cfg.with_norm,
@@ -190,7 +240,9 @@ class Tracker:
         # Slots holding pre-video indices are masked via key_valid, so the
         # initial buffer content is never read.
         init_buf = jnp.tile(first_value[None], (cfg.precede_frames, 1, 1, 1))
-        _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
+        _, outs = jax.lax.scan(
+            step_bank if bank_mode else step_legacy, init_buf, jnp.arange(1, T)
+        )
         return outs
 
     def _propagate_impl(

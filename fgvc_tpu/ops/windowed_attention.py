@@ -68,16 +68,23 @@ def masked_topk_attention_tiled(
     key_valid: Optional[jax.Array] = None,
     precision: str = "highest",
     topk_impl: str = "exact",
+    frame_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Drop-in equivalent of masked_topk_attention for non_mask_len == 0.
 
     Args: see masked_topk_attention.  `tile` is the query tile edge; `halo`
     is ceil(radius) so the circle mask (strict <) is fully covered.
+
+    Bank mode (`frame_idx` given): `key` is instead the FULL pre-normalized,
+    pre-padded feature bank of shape (Tb, Hp + 2·halo, Wp + 2·halo, C) —
+    built once per video by pad_key_bank() — and the window's key frames are
+    sliced per tile straight from it. This removes the per-step pad/concat/
+    gather of the 6-frame key tensor (~300 MB of HBM copies per frame).
     """
     if mode not in ("softmax", "cosine"):
         raise ValueError(f"unknown mode {mode}")
     H, W, C = query.shape
-    T = key.shape[0]
+    T = value.shape[0] if frame_idx is not None else key.shape[0]
     Cv = value.shape[-1]
     prec = _PRECISIONS[precision]
 
@@ -92,12 +99,16 @@ def masked_topk_attention_tiled(
 
     if normalize:
         query = l2_normalize(query)
-        key = l2_normalize(key)
+        if frame_idx is None:
+            key = l2_normalize(key)
 
     qpad = jnp.pad(query, ((0, Hp - H), (0, Wp - W), (0, 0)))
-    kpad = jnp.pad(
-        key, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
-    )
+    if frame_idx is None:
+        kpad = jnp.pad(
+            key, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
+        )
+    else:
+        kpad = key  # already padded bank (Tb, Hp+2halo, Wp+2halo, C)
     vpad = jnp.pad(
         value, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
     )
@@ -126,7 +137,14 @@ def masked_topk_attention_tiled(
         tc = (t_idx % ntw) * tile
 
         q_t = jax.lax.dynamic_slice(qpad, (tr, tc, 0), (tile, tile, C))
-        k_t = jax.lax.dynamic_slice(kpad, (0, tr, tc, 0), (T, win, win, C))
+        if frame_idx is None:
+            k_t = jax.lax.dynamic_slice(kpad, (0, tr, tc, 0), (T, win, win, C))
+        else:
+            k_t = jax.vmap(
+                lambda fi: jax.lax.dynamic_slice(
+                    kpad, (fi, tr, tc, 0), (1, win, win, C)
+                )[0]
+            )(frame_idx)
         v_t = jax.lax.dynamic_slice(vpad, (0, tr, tc, 0), (T, win, win, Cv))
 
         aff = (
@@ -206,3 +224,16 @@ def masked_topk_attention_tiled(
     _, outs = jax.lax.scan(tile_fn, None, jnp.arange(nth * ntw))
     out = outs.reshape(nth, ntw, tile, tile, Cv).transpose(0, 2, 1, 3, 4)
     return out.reshape(Hp, Wp, Cv)[:H, :W]
+
+
+def pad_key_bank(bank: jax.Array, radius: float, tile: int = 32) -> jax.Array:
+    """Pre-normalize + halo-pad a (Tb, H, W, C) feature bank for bank mode."""
+    halo = int(radius)
+    H, W = bank.shape[1:3]
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    bank = l2_normalize(bank)
+    return jnp.pad(
+        bank,
+        ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0)),
+    )

@@ -40,3 +40,38 @@ def test_tiled_matches_dense(H, W, tile, radius, topk):
         )
     )
     np.testing.assert_allclose(tiled, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_bank_mode_matches_direct():
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.windowed_attention import (
+        masked_topk_attention_tiled,
+        pad_key_bank,
+    )
+
+    rng = np.random.default_rng(2)
+    Tb, H, W, C, Cv = 5, 16, 16, 8, 3
+    bank = rng.standard_normal((Tb, H, W, C)).astype(np.float32)
+    v = rng.standard_normal((3, H, W, Cv)).astype(np.float32)
+    q = bank[4]
+    frame_idx = np.array([0, 2, 3])
+    valid = np.array([True, True, False])
+
+    direct = np.asarray(
+        masked_topk_attention_tiled(
+            jnp.asarray(q), jnp.asarray(bank[frame_idx]), jnp.asarray(v),
+            radius=4.0, temperature=0.07, topk=4, tile=8,
+            key_valid=jnp.asarray(valid),
+        )
+    )
+    bank_pad = pad_key_bank(jnp.asarray(bank), 4.0, tile=8)
+    banked = np.asarray(
+        masked_topk_attention_tiled(
+            jnp.asarray(q), bank_pad, jnp.asarray(v),
+            radius=4.0, temperature=0.07, topk=4, tile=8,
+            key_valid=jnp.asarray(valid),
+            frame_idx=jnp.asarray(frame_idx),
+        )
+    )
+    np.testing.assert_allclose(banked, direct, rtol=1e-5, atol=1e-6)
