@@ -201,15 +201,25 @@ class Tracker:
             valid = jnp.concatenate([jnp.ones((1,), bool), win_valid])
             return idx, valid
 
+        # Per-tile slices straight from the full bank are fastest for small
+        # banks but degrade badly on multi-GB banks (TPU gather locality);
+        # past the threshold, gather the window's padded frames once per
+        # step and slice tiles from that small array instead.
+        pure_bank = T <= 160
+
         def step_bank(value_buf, t):
             idx, key_valid = window_indices(t)
             query = jax.lax.dynamic_slice(
                 bank_pad, (t, halo, halo, 0), (1, h, w, C)
             )[0]
+            if pure_bank:
+                keys, fidx = bank_pad, idx
+            else:
+                keys, fidx = bank_pad[idx], jnp.arange(idx.shape[0])
             values = jnp.concatenate([first_value[None], value_buf], axis=0)
             seg_logit = masked_topk_attention_tiled(
                 query,
-                bank_pad,
+                keys,
                 values,
                 radius=float(radius),
                 temperature=cfg.temperature,
@@ -220,7 +230,7 @@ class Tracker:
                 key_valid=key_valid,
                 precision=cfg.matmul_precision,
                 topk_impl=cfg.topk_impl,
-                frame_idx=idx,
+                frame_idx=fidx,
             )
             new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
             return new_buf, emit(seg_logit)
