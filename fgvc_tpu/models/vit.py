@@ -76,3 +76,31 @@ class VisionTransformer(nn.Module):
 def vit_small_d8() -> VisionTransformer:
     """Stride-8 ViT comparable to the reference's DINO-S/8 ablations."""
     return VisionTransformer(patch=8, dim=384, depth=12, heads=6)
+
+
+class Conv2Plus1D(nn.Module):
+    """(2+1)-D factorized convolution (Conv2plus1d equivalent,
+    /root/reference/mmpt/models/common/conv2plus1d.py:6): a spatial k×k conv
+    followed by a temporal k conv over (B, T, H, W, C) clips."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        k, s = self.kernel, self.stride
+        mid = (T * k * k * C * self.features) // (
+            k * k * C + k * self.features
+        )
+        mid = max(mid, 1)
+        y = nn.Conv(
+            mid, (k, k), strides=(s, s), padding=k // 2, name="spatial"
+        )(x.reshape(B * T, H, W, C))
+        Hs, Ws = y.shape[1:3]
+        y = y.reshape(B, T, Hs, Ws, mid)
+        y = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(B * Hs * Ws, T, mid)
+        y = nn.Conv(self.features, (k,), padding=k // 2, name="temporal")(y)
+        y = y.reshape(B, Hs, Ws, T, self.features)
+        return jnp.transpose(y, (0, 3, 1, 2, 4))
