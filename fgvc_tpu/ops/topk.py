@@ -44,11 +44,12 @@ def topk_segmented(aff: jax.Array, k: int, seg: int = 128):
     a = a.reshape(S, n_seg, seg)
 
     seg_max = jnp.max(a, axis=-1)                      # (S, n_seg)
-    _, seg_idx = jax.lax.top_k(seg_max, k)             # (S, k)
+    ks = min(k, n_seg)  # can't select more segments than exist
+    _, seg_idx = jax.lax.top_k(seg_max, ks)            # (S, ks)
 
-    # gather the k winning segments: (S, k, seg)
+    # gather the ks winning segments: (S, ks, seg)
     cand = jnp.take_along_axis(a, seg_idx[:, :, None], axis=1)
-    cand = cand.reshape(S, k * seg)
+    cand = cand.reshape(S, ks * seg)
     w, ci = jax.lax.top_k(cand, k)                     # (S, k)
 
     # map candidate positions back to global indices

@@ -116,3 +116,29 @@ def propagate_ref(
         bank.append(seg)
         decoded.append(seg)
     return bank  # list of (P, h, w) logits, length T
+
+
+def img2coord_np(maps, topk=5):
+    """Reference-exact numpy soft-argmax (tie-breaking included).
+
+    Restates VanillaTracker.img2coord
+    (/root/reference/mmpt/models/trackers/vanilla_tracker.py:172-191) for
+    golden-testing the jitted soft_argmax_topk decode.
+
+    Args:
+      maps: (T, P, H, W).
+    Returns:
+      (2, P, T) coords, channel 0 = x, channel 1 = y; -1 where map sums to 0.
+    """
+    clip_len, num_p, height, width = maps.shape
+    coords = np.zeros((2, num_p, clip_len), dtype=float)
+    flat = maps.reshape(clip_len, num_p, -1)
+    topk_indices = np.argsort(flat, axis=-1)[..., -topk:]
+    topk_values = np.take_along_axis(flat, topk_indices, axis=-1)
+    topk_values = topk_values / (np.sum(topk_values, keepdims=True, axis=-1) + 1e-9)
+    topk_x = topk_indices % width
+    topk_y = topk_indices // width
+    coords[0] = np.sum(topk_x * topk_values, axis=-1).T
+    coords[1] = np.sum(topk_y * topk_values, axis=-1).T
+    coords[:, np.sum(flat.transpose(1, 0, 2), axis=-1) == 0] = -1
+    return coords

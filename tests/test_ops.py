@@ -61,7 +61,8 @@ def test_gaussian_maps_match_reference_strided_draw():
 def test_soft_argmax_matches_reference_img2coord():
     import jax.numpy as jnp
 
-    from fgvc_tpu.ops.grids import img2coord_np, soft_argmax_topk
+    from fgvc_tpu.ops.grids import soft_argmax_topk
+    from oracles import img2coord_np
 
     rng = np.random.default_rng(2)
     T, P, H, W = 3, 4, 16, 20
