@@ -73,6 +73,20 @@ def _my_videos(n: int, rank: int, world: int):
     return list(range(n))[rank::world]
 
 
+def _merge_shards(pairs):
+    """Gather (video_idx, payload) pairs from every process, sorted by idx.
+
+    The collect_results step (/root/reference/mmpt/apis/test.py:131-236):
+    per-rank shards are exchanged so every process scores the FULL result
+    set — without this a multi-process run would silently report
+    rank-local metrics.
+    """
+    from fgvc_tpu.parallel.dist import allgather_objects
+
+    pairs = sorted(allgather_objects(pairs), key=lambda p: p[0])
+    return [p[0] for p in pairs], [p[1] for p in pairs]
+
+
 def eval_tapvid(
     tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
 ) -> Dict[str, float]:
@@ -91,14 +105,18 @@ def eval_tapvid(
             flush=True,
         )
         results.append(
-            {
-                "trajectories_gt": sample["trajectories"],
-                "visibilities_gt": sample["visibilities"],
-                "trajectories_pred": out["trajectories"],
-                "visibilities_pred": out["visibilities"],
-                "query_points": sample["query_points"],
-            }
+            (
+                i,
+                {
+                    "trajectories_gt": sample["trajectories"],
+                    "visibilities_gt": sample["visibilities"],
+                    "trajectories_pred": out["trajectories"],
+                    "visibilities_pred": out["visibilities"],
+                    "query_points": sample["query_points"],
+                },
+            )
         )
+    _, results = _merge_shards(results)
     return dataset.evaluate(results, output_dir=output_dir)
 
 
@@ -114,8 +132,9 @@ def eval_jhmdb(
         coords = tracker.track_heatmaps(
             sample["video"], sample["ref_maps"], tuple(sample["original_shape"])
         )  # (T, P, 2)
-        preds.append(np.transpose(coords, (2, 1, 0)))  # (2, P, T)
-    return dataset.evaluate(preds, output_dir=output_dir)
+        preds.append((i, np.transpose(coords, (2, 1, 0))))  # (2, P, T)
+    idxs, preds = _merge_shards(preds)
+    return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
 
 
 def eval_badja(
@@ -130,8 +149,9 @@ def eval_badja(
         coords = tracker.track_heatmaps(
             sample["video"], sample["ref_maps"], tuple(sample["original_shape"])
         )
-        preds.append(coords)  # (T, P, 2) at input size
-    return dataset.evaluate(preds, output_dir=output_dir)
+        preds.append((i, coords))  # (T, P, 2) at input size
+    idxs, preds = _merge_shards(preds)
+    return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
 
 
 def eval_vos(
@@ -149,8 +169,9 @@ def eval_vos(
             tuple(sample["original_shape"]),
             sample["num_objects"],
         )
-        preds.append(masks)
-    return dataset.evaluate(preds, output_dir=output_dir)
+        preds.append((i, masks))
+    idxs, preds = _merge_shards(preds)
+    return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
 
 
 def run_task(

@@ -140,13 +140,18 @@ class BadjaDataset:
     def evaluate(
         self,
         pred_coords_list: Sequence[np.ndarray],  # per video (T, P, 2) xy @ size
+        indices=None,
         output_dir=None,
     ) -> Dict[str, float]:
+        """`indices` gives the dataset index of each prediction (sharded /
+        truncated runs); defaults to 0..len(preds)-1."""
         import cv2
 
+        if indices is None:
+            indices = range(len(pred_coords_list))
         per_frame = []
         H, W = self.size
-        for idx, pred in enumerate(pred_coords_list):
+        for idx, pred in zip(indices, pred_coords_list):
             rgbs, segs, joints, visibles = self._load_video(idx)
             h0, w0 = rgbs[0].shape[:2]
             sy, sx = H / h0, W / w0

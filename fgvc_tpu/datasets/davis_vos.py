@@ -106,11 +106,18 @@ class DavisVosDataset:
     def evaluate(
         self,
         pred_masks_list: Sequence[np.ndarray],  # per video (T, H0, W0) labels
+        indices=None,
         output_dir=None,
     ) -> Dict[str, float]:
-        """DAVIS semi-supervised protocol: score frames [1:-1] per object."""
+        """DAVIS semi-supervised protocol: score frames [1:-1] per object.
+
+        `indices` gives the dataset index of each prediction (sharded /
+        truncated runs); defaults to 0..len(preds)-1.
+        """
+        if indices is None:
+            indices = range(len(pred_masks_list))
         per_video = []
-        for idx, pred in enumerate(pred_masks_list):
+        for idx, pred in zip(indices, pred_masks_list):
             gt = self.load_gt_masks(idx)
             n = min(len(gt), len(pred))
             num_obj = int(gt.max())

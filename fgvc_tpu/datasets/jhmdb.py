@@ -141,10 +141,16 @@ class JhmdbDataset:
         }
 
     def evaluate(
-        self, pred_poses_list: Sequence[np.ndarray], output_dir=None
+        self, pred_poses_list: Sequence[np.ndarray], indices=None, output_dir=None
     ) -> Dict[str, float]:
-        """pred_poses_list: per video (2, 15, T) coords at ORIGINAL res."""
-        gts = [self.load_gt_poses(i) for i in range(len(self))]
+        """pred_poses_list: per video (2, 15, T) coords at ORIGINAL res.
+
+        `indices` gives the dataset index of each prediction (sharded /
+        truncated runs); defaults to 0..len(preds)-1.
+        """
+        if indices is None:
+            indices = range(len(pred_poses_list))
+        gts = [self.load_gt_poses(i) for i in indices]
         gts = [
             g[:, :, : min(g.shape[-1], p.shape[-1])]
             for g, p in zip(gts, pred_poses_list)

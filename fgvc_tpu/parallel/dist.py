@@ -33,29 +33,53 @@ def initialize(coordinator: Optional[str] = None, **kwargs) -> None:
     jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
 
 
-def allgather_summaries(summaries: List[Dict[str, float]]) -> List[Dict[str, float]]:
-    """Gather per-point summary dicts from every process.
+def _allgather_bytes(payload: bytes) -> List[bytes]:
+    """Exchange one byte-string per process; returns all, rank order.
 
-    Dicts are serialized to utf-8 json, padded to the global max length, and
-    exchanged as uint8 arrays via process_allgather.
+    Payloads are padded to the global max length and exchanged as uint8
+    arrays via process_allgather (the reference pads pickled byte tensors
+    the same way before dist.all_gather — apis/test.py:204-222).
     """
-    rank, world = process_info()
-    if world == 1:
-        return summaries
-
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
 
-    payload = json.dumps(summaries).encode()
+    _, world = process_info()
     n = np.array([len(payload)], np.int32)
-    max_n = int(multihost_utils.process_allgather(jnp.asarray(n)).max())
-    buf = np.zeros(max_n, np.uint8)
-    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
     lens = np.asarray(multihost_utils.process_allgather(jnp.asarray(n)))
+    lens = lens.reshape(world)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
     bufs = np.asarray(multihost_utils.process_allgather(jnp.asarray(buf)))
+    bufs = bufs.reshape(world, -1)
+    return [bytes(bufs[r][: int(lens[r])]) for r in range(world)]
 
+
+def allgather_objects(objs: list, _gather_bytes=None) -> list:
+    """Gather and concatenate a list of picklable objects from every process.
+
+    The collect_results equivalent (/root/reference/mmpt/apis/test.py:192-236):
+    every process contributes its shard; every process receives the
+    concatenation in rank order. Single-process runs are pass-through.
+    `_gather_bytes` is injectable for tests.
+    """
+    import pickle
+
+    _, world = process_info()
+    if world == 1 and _gather_bytes is None:
+        return list(objs)
+    gather = _gather_bytes or _allgather_bytes
+    merged: list = []
+    for raw in gather(pickle.dumps(objs)):
+        merged.extend(pickle.loads(raw))
+    return merged
+
+
+def allgather_summaries(summaries: List[Dict[str, float]]) -> List[Dict[str, float]]:
+    """Gather per-point summary dicts from every process (json payloads)."""
+    _, world = process_info()
+    if world == 1:
+        return summaries
     merged: List[Dict[str, float]] = []
-    for r in range(world):
-        raw = bytes(bufs[r][: int(lens[r][0])])
+    for raw in _allgather_bytes(json.dumps(summaries).encode()):
         merged.extend(json.loads(raw))
     return merged
