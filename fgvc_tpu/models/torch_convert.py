@@ -38,14 +38,28 @@ def convert_resnet_state_dict(
 ) -> Dict[str, Any]:
     """Convert a torch ResNet state dict to fgvc_tpu ResNet variables.
 
-    Handles both mmcv naming (``conv1.conv.weight`` / ``conv1.bn.weight``)
-    and torchvision naming (``conv1.weight`` / ``bn1.weight``).
+    Handles both namings that appear in the reference's checkpoints
+    (/root/reference/mmpt/models/backbones/resnet.py:525-603):
+
+      * mmcv ConvModule naming — what the released
+        ``res18_d1_fly_ytv_mixed_training.pth`` actually uses:
+        ``conv1.conv.weight`` / ``conv1.bn.*`` for the stem,
+        ``layerX.Y.convN.conv.weight`` / ``layerX.Y.convN.bn.*`` for blocks,
+        ``layerX.Y.downsample.conv.weight`` / ``downsample.bn.*``.
+      * torchvision naming — ``conv1.weight`` / ``bn1.*``,
+        ``layerX.Y.convN.weight`` / ``layerX.Y.bnN.*``,
+        ``layerX.Y.downsample.0.weight`` / ``downsample.1.*``.
+
+    Raises if any ``{prefix}``-matching weight is left unconverted (except
+    ``num_batches_tracked``) — a silent partial load would otherwise ship
+    random weights for the dropped layers.
 
     Returns a pytree {'params': {...}, 'batch_stats': {...}} matching
     fgvc_tpu.models.resnet.ResNet's variable structure.
     """
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
+    consumed = set()
 
     def put(tree, path, leaf):
         node = tree
@@ -53,27 +67,32 @@ def convert_resnet_state_dict(
             node = node.setdefault(p, {})
         node[path[-1]] = leaf
 
-    def add_conv(flax_name: str, torch_key: str):
+    def add_conv(flax_name, torch_key):
         if torch_key in state:
-            put(params, (flax_name, "kernel"), _conv_kernel(state[torch_key]))
+            put(params, (*flax_name, "kernel"), _conv_kernel(state[torch_key]))
+            consumed.add(torch_key)
             return True
         return False
 
-    def add_bn(flax_name: str, torch_base: str):
+    def add_bn(flax_name, torch_base):
         if f"{torch_base}.weight" not in state:
             return False
-        put(params, (flax_name, "scale"), state[f"{torch_base}.weight"])
-        put(params, (flax_name, "bias"), state[f"{torch_base}.bias"])
-        put(stats, (flax_name, "mean"), state[f"{torch_base}.running_mean"])
-        put(stats, (flax_name, "var"), state[f"{torch_base}.running_var"])
+        put(params, (*flax_name, "scale"), state[f"{torch_base}.weight"])
+        put(params, (*flax_name, "bias"), state[f"{torch_base}.bias"])
+        put(stats, (*flax_name, "mean"), state[f"{torch_base}.running_mean"])
+        put(stats, (*flax_name, "var"), state[f"{torch_base}.running_var"])
+        consumed.update(
+            f"{torch_base}.{s}"
+            for s in ("weight", "bias", "running_mean", "running_var")
+        )
         return True
 
     p = prefix
     # Stem: mmcv ConvModule naming first, torchvision second.
-    if not add_conv("conv1", f"{p}conv1.conv.weight"):
-        add_conv("conv1", f"{p}conv1.weight")
-    if not add_bn("bn1", f"{p}conv1.bn"):
-        add_bn("bn1", f"{p}bn1")
+    if add_conv(("conv1",), f"{p}conv1.conv.weight"):
+        add_bn(("bn1",), f"{p}conv1.bn")
+    elif add_conv(("conv1",), f"{p}conv1.weight"):
+        add_bn(("bn1",), f"{p}bn1")
 
     block_re = re.compile(rf"^{re.escape(p)}layer(\d+)\.(\d+)\.")
     seen = {
@@ -85,20 +104,34 @@ def convert_resnet_state_dict(
         base = f"{p}layer{li}.{bj}"
         flax_block = f"layer{li}_{bj}"
         for conv_i in (1, 2, 3):
-            tk = f"{base}.conv{conv_i}.weight"
-            if tk in state:
-                put(params, (flax_block, f"conv{conv_i}", "kernel"), _conv_kernel(state[tk]))
-                put(params, (flax_block, f"bn{conv_i}", "scale"), state[f"{base}.bn{conv_i}.weight"])
-                put(params, (flax_block, f"bn{conv_i}", "bias"), state[f"{base}.bn{conv_i}.bias"])
-                put(stats, (flax_block, f"bn{conv_i}", "mean"), state[f"{base}.bn{conv_i}.running_mean"])
-                put(stats, (flax_block, f"bn{conv_i}", "var"), state[f"{base}.bn{conv_i}.running_var"])
-        dk = f"{base}.downsample.0.weight"
-        if dk in state:
-            put(params, (flax_block, "downsample_conv", "kernel"), _conv_kernel(state[dk]))
-            put(params, (flax_block, "downsample_bn", "scale"), state[f"{base}.downsample.1.weight"])
-            put(params, (flax_block, "downsample_bn", "bias"), state[f"{base}.downsample.1.bias"])
-            put(stats, (flax_block, "downsample_bn", "mean"), state[f"{base}.downsample.1.running_mean"])
-            put(stats, (flax_block, "downsample_bn", "var"), state[f"{base}.downsample.1.running_var"])
+            # mmcv ConvModule: convN.conv.weight + convN.bn.*
+            if add_conv((flax_block, f"conv{conv_i}"), f"{base}.conv{conv_i}.conv.weight"):
+                add_bn((flax_block, f"bn{conv_i}"), f"{base}.conv{conv_i}.bn")
+            # torchvision: convN.weight + bnN.*
+            elif add_conv((flax_block, f"conv{conv_i}"), f"{base}.conv{conv_i}.weight"):
+                add_bn((flax_block, f"bn{conv_i}"), f"{base}.bn{conv_i}")
+        if add_conv((flax_block, "downsample_conv"), f"{base}.downsample.conv.weight"):
+            add_bn((flax_block, "downsample_bn"), f"{base}.downsample.bn")
+        elif add_conv((flax_block, "downsample_conv"), f"{base}.downsample.0.weight"):
+            add_bn((flax_block, "downsample_bn"), f"{base}.downsample.1")
+
+    scope_re = re.compile(
+        rf"^{re.escape(p)}(conv1|bn1|layer\d+)\."
+        if p
+        else r"^(conv1|bn1|layer\d+)\."
+    )
+    leftover = {
+        k
+        for k in state
+        if scope_re.match(k)
+        and k not in consumed
+        and not k.endswith("num_batches_tracked")
+    }
+    if leftover:
+        raise ValueError(
+            f"unconverted checkpoint keys (naming mismatch?): {sorted(leftover)[:8]}"
+            f"{' ...' if len(leftover) > 8 else ''}"
+        )
 
     params = _to_jnp(params)
     stats = _to_jnp(stats)
