@@ -13,6 +13,15 @@ Protocol from the reference BadjaDataset
     resolution with truncated σ=3 gaussians,
   * PCK@α with threshold α·sqrt(mask area) over visible joints.
 
+Resize-protocol equivalence: the eval config's pipeline starts with
+``Resize(scale=(-1, 320), keep_ratio=True)`` (configs/eval/base_data.py:29),
+but ``prepare_test_data`` has ALREADY resized every frame to the fixed
+(320, 512) via ``mmcv.imresize`` (badja_dataset.py:359) before the pipeline
+runs.  ``rescale_size((512, 320), (inf, 320))`` yields scale factor
+320/min(512,320) = 1.0 → (512, 320), i.e. the keep-ratio resize is an exact
+identity on those frames.  The effective reference geometry therefore IS the
+fixed (320, 512) resize that this class implements directly.
+
 Note: the reference's IGNORE_ANIMALS list has a missing comma, so it is a
 single string "cat_jump.jsontiger.json" that matches no file — effectively
 no animal is ignored; we reproduce the effective behavior (none ignored).
