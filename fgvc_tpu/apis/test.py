@@ -69,6 +69,28 @@ def build_tracker(
     )
 
 
+def build_raft_tracker(checkpoint: Optional[str] = None, iters: int = 12, seed: int = 0):
+    """RAFT baseline tracker (reference trackers/raft.py:222-288).
+
+    Loads a torch RAFT .pth (official naming) or an orbax dir when given.
+    """
+    from fgvc_tpu.models.raft import RaftTracker
+
+    variables = None
+    if checkpoint and checkpoint.endswith(".pth"):
+        from fgvc_tpu.models.torch_convert import load_torch_state_dict
+        from fgvc_tpu.models.raft_convert import convert_raft_state_dict
+
+        variables = convert_raft_state_dict(load_torch_state_dict(checkpoint))
+    elif checkpoint:
+        import orbax.checkpoint as ocp
+
+        variables = ocp.StandardCheckpointer().restore(checkpoint)
+    # official checkpoints carry a batch-normed context encoder
+    cnet_norm = "batch" if variables and "batch_stats" in variables else "none"
+    return RaftTracker(variables, iters=iters, seed=seed, cnet_norm=cnet_norm)
+
+
 def _my_videos(n: int, rank: int, world: int):
     return list(range(n))[rank::world]
 
@@ -182,13 +204,23 @@ def run_task(
     max_videos: Optional[int] = None,
     output_dir: Optional[str] = None,
     test_cfg: Optional[TestConfig] = None,
+    model: str = "vanilla",
 ) -> Dict[str, float]:
-    """Mirror of `tools/test.py --task ...` (tools/test.py:121-198)."""
+    """Mirror of `tools/test.py --task ...` (tools/test.py:121-198).
+
+    model='raft' evaluates the RAFT flow-chaining baseline instead of the
+    label-propagation tracker (point-tracking tasks only).
+    """
     from fgvc_tpu.parallel.dist import process_info
 
     rank, world = process_info()
     cfg = test_cfg or TASK_CONFIGS[task]
-    tracker = build_tracker(cfg, checkpoint)
+    if model == "raft":
+        if task not in ("davis", "kinetics"):
+            raise ValueError("--model raft supports point-tracking tasks only")
+        tracker = build_raft_tracker(checkpoint)
+    else:
+        tracker = build_tracker(cfg, checkpoint)
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 

@@ -35,9 +35,13 @@ class ResBlock(nn.Module):
 
     def _norm(self, name):
         if self.norm == "instance":
+            # torch InstanceNorm2d(affine=False) == per-channel GroupNorm
+            # whose scale/bias stay at their identity init
             return nn.GroupNorm(num_groups=None, group_size=1, name=name)
         if self.norm == "batch":
-            return nn.GroupNorm(num_groups=8, name=name)  # group stand-in
+            # frozen (eval-mode) BatchNorm: running stats come from the
+            # converted torch checkpoint (raft_convert.py)
+            return nn.BatchNorm(use_running_average=True, name=name)
         return lambda x: x
 
     @nn.compact
@@ -65,6 +69,8 @@ class BasicEncoder(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
         if self.norm == "instance":
             x = nn.GroupNorm(num_groups=None, group_size=1, name="norm1")(x)
+        elif self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=True, name="norm1")(x)
         x = nn.relu(x)
         for i, (feat, stride) in enumerate(((64, 1), (96, 2), (128, 2))):
             x = ResBlock(feat, stride, self.norm, name=f"layer{i}_0")(x)
@@ -86,9 +92,19 @@ def correlation_pyramid(f1: jax.Array, f2: jax.Array, levels: int = 4):
     cur = corr
     for _ in range(levels - 1):
         h2, w2 = cur.shape[2] // 2, cur.shape[3] // 2
-        if h2 < 1 or w2 < 1:
-            break  # feature map too small for further pooling
-        cur = cur.reshape(H, W, h2, 2, w2, 2).mean(axis=(3, 5))
+        if h2 >= 1 and w2 >= 1:
+            # 2x2 avg-pool with stride 2, floor semantics (F.avg_pool2d):
+            # handles odd dims by dropping the trailing row/col
+            cur = jax.lax.reduce_window(
+                cur,
+                0.0,
+                jax.lax.add,
+                window_dimensions=(1, 1, 2, 2),
+                window_strides=(1, 1, 2, 2),
+                padding="VALID",
+            ) * 0.25
+        # else: map already 1x1 — repeat the coarsest level so the motion
+        # encoder's channel count stays levels*(2r+1)^2 at any input size
         pyramid.append(cur)
     return pyramid
 
@@ -203,11 +219,14 @@ class RAFT(nn.Module):
     iters: int = 12
     corr_levels: int = 4
     corr_radius: int = 4
+    # official RAFT uses batch-normed context encoder; "none" is our
+    # from-scratch training default (no running stats to manage)
+    cnet_norm: str = "none"
 
     @nn.compact
     def __call__(self, image1, image2):
         fnet = BasicEncoder(256, "instance", name="fnet")
-        cnet = BasicEncoder(256, "none", name="cnet")
+        cnet = BasicEncoder(256, self.cnet_norm, name="cnet")
         f1 = fnet(image1[None])[0]
         f2 = fnet(image2[None])[0]
         ctx = cnet(image1[None])[0]
@@ -301,3 +320,45 @@ def chain_flows_track(
             traj[t - 1, p] = cur
             vis[t - 1, p] = (0 <= cur[0] <= W - 1) and (0 <= cur[1] <= H - 1)
     return traj, vis
+
+
+class RaftTracker:
+    """RAFT-as-a-tracker eval twin — the reference's RAFT baseline protocol
+    (/root/reference/mmpt/models/trackers/raft.py:222-288): per-pair forward
+    and backward flows, then temporal flow chaining from each query point
+    with in-bounds visibility.
+
+    API-compatible with Tracker.track_points so eval_tapvid / tools/test.py
+    --model raft can score it on TAP-Vid benchmarks.
+    """
+
+    def __init__(
+        self, variables=None, iters: int = 12, seed: int = 0,
+        cnet_norm: str = "none",
+    ):
+        self.model = RAFT(iters=iters, cnet_norm=cnet_norm)
+        if variables is None:
+            dummy = jnp.zeros((32, 32, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy, dummy)
+        self.variables = variables
+        self._flow_fn = jax.jit(
+            lambda v, a, b: self.model.apply(v, a, b)[-1]
+        )
+
+    def _preprocess(self, video: np.ndarray) -> jax.Array:
+        # RAFT's [-1, 1] RGB normalization (frames arrive uint8 RGB)
+        return jnp.asarray(video, jnp.float32) / 127.5 - 1.0
+
+    def track_points(self, video: np.ndarray, query_points: np.ndarray):
+        """video (T, H, W, 3) uint8; query_points (P, 3) = (t, x, y)."""
+        T, H, W = video.shape[:3]
+        assert H % 8 == 0 and W % 8 == 0, "RAFT needs 8-divisible frames"
+        frames = self._preprocess(video)
+        fwd, bwd = [], []
+        for t in range(T - 1):
+            fwd.append(np.asarray(self._flow_fn(self.variables, frames[t], frames[t + 1])))
+            bwd.append(np.asarray(self._flow_fn(self.variables, frames[t + 1], frames[t])))
+        traj, vis = chain_flows_track(
+            np.stack(fwd), np.stack(bwd), np.asarray(query_points, np.float32)
+        )
+        return {"trajectories": traj, "visibilities": vis}

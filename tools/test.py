@@ -28,6 +28,12 @@ def main():
     parser.add_argument("--data-root", required=True)
     parser.add_argument("--list-path", default=None)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument(
+        "--model",
+        default="vanilla",
+        choices=["vanilla", "raft"],
+        help="vanilla = label-propagation tracker; raft = flow-chaining baseline",
+    )
     parser.add_argument("--max-videos", type=int, default=None)
     parser.add_argument("--output-dir", default="eval_results")
     parser.add_argument(
@@ -58,6 +64,7 @@ def main():
         max_videos=args.max_videos,
         output_dir=args.output_dir,
         test_cfg=cfg,
+        model=args.model,
     )
     print(json.dumps(results, indent=2, default=float))
 
