@@ -58,7 +58,12 @@ def make_tapvid_val_fn(data_root: str, test_cfg=None, max_videos: int = 4):
     from fgvc_tpu.models.tracker import Tracker
 
     cfg = test_cfg or TASK_CONFIGS["davis"]
-    dataset = TapVidDataset(data_root, subset_name="davis", query_mode="first")
+    dataset = TapVidDataset(
+        data_root,
+        subset_name="davis",
+        query_mode="first",
+        input_size=cfg.input_size,
+    )
     model = resnet18_d1()
 
     def val_fn(state):
@@ -74,6 +79,51 @@ def make_tapvid_val_fn(data_root: str, test_cfg=None, max_videos: int = 4):
     return val_fn
 
 
+def make_synthetic_val_fn(
+    work_dir: str,
+    num_videos: int = 2,
+    frames: int = 6,
+    size=(64, 64),
+    max_videos: int = 2,
+    seed: int = 0,
+):
+    """Mid-train eval smoke without real data: writes tiny synthetic TAP-Vid
+    shards under `work_dir/synth_val` and evaluates on them — exercises the
+    same copy-params → eval-twin → propagate → score path as the real
+    DistEvalHook (eval_hooks.py:345-364)."""
+    import dataclasses
+    import pickle
+
+    from fgvc_tpu.apis.test import TASK_CONFIGS
+
+    root = os.path.join(work_dir, "synth_val")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for v in range(num_videos):
+        path = os.path.join(root, f"synth{v}.pkl")
+        if not os.path.exists(path):
+            rec = {
+                "video": rng.integers(
+                    0, 256, (frames, *size, 3), dtype=np.uint8
+                ),
+                "points": rng.uniform(0.2, 0.8, (4, frames, 2)).astype(
+                    np.float32
+                ),
+                "occluded": np.zeros((4, frames), bool),
+            }
+            with open(path, "wb") as f:
+                pickle.dump(rec, f)
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["davis"],
+        input_size=tuple(size),
+        frame_bucket=8,
+        point_bucket=16,
+        neighbor_range=6,
+        tile=8,
+    )
+    return make_tapvid_val_fn(root, test_cfg=cfg, max_videos=max_videos)
+
+
 def train_model(
     cfg: TrainConfig,
     batches: Iterable,
@@ -87,8 +137,15 @@ def train_model(
     teacher_ema: Optional[float] = None,
     val_fn=None,
     val_interval: Optional[int] = None,
+    val_metric_key: str = "average_pts_within_thresh",
+    val_rule: str = "greater",
 ):
-    """Run mixed training over an iterable of host batches."""
+    """Run mixed training over an iterable of host batches.
+
+    When `val_fn` reports `val_metric_key`, the best checkpoint is tracked
+    (save + `best` pointer + best.json) — the EvalHook_Custom save-best
+    behavior (/root/reference/mmpt/core/evaluation/eval_hooks.py:177-292).
+    """
     os.makedirs(work_dir, exist_ok=True)
     mesh = make_mesh()
     trainer = MixedTrainer(cfg)
@@ -127,6 +184,7 @@ def train_model(
     except Exception:
         pass
 
+    best_metric = None
     with mesh:
         state = replicate(state, mesh)
         teacher_vars = replicate(teacher_vars, mesh)
@@ -176,5 +234,32 @@ def train_model(
                 with open(log_path, "a") as f:
                     f.write(json.dumps({"step": step, "val": metrics}) + "\n")
                 print(f"[val @ {step}] {metrics}", flush=True)
+                cur = metrics.get(val_metric_key)
+                if cur is not None:
+                    better = best_metric is None or (
+                        cur > best_metric
+                        if val_rule == "greater"
+                        else cur < best_metric
+                    )
+                    if better:
+                        best_metric = float(cur)
+                        save_checkpoint(work_dir, state, teacher_vars, step)
+                        with open(os.path.join(work_dir, "best"), "w") as f:
+                            f.write(f"step_{step}")
+                        with open(
+                            os.path.join(work_dir, "best.json"), "w"
+                        ) as f:
+                            json.dump(
+                                {
+                                    "step": step,
+                                    "metric": val_metric_key,
+                                    "value": best_metric,
+                                },
+                                f,
+                            )
+                        print(
+                            f"[best @ {step}] {val_metric_key}={best_metric}",
+                            flush=True,
+                        )
 
     return state, teacher_vars

@@ -89,3 +89,8 @@ class TrainConfig:
     batch_size: int = 4  # global batch (reference: 1/GPU × 4 GPUs)
     crop_size: int = 256
     seed: int = 0
+    # OptimizerHook_Custom options (/root/reference/mmpt/core/optimizer/
+    # opz_hook.py:26-155): global-norm gradient clipping and static loss
+    # scaling (the Fp16OptimizerHook equivalent; bf16 on TPU rarely needs it)
+    grad_clip: Optional[float] = None
+    loss_scale: float = 1.0

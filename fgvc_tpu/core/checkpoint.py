@@ -34,14 +34,24 @@ def save_checkpoint(work_dir: str, state, teacher_vars, step: int) -> str:
     return path
 
 
-def latest_checkpoint(work_dir: str) -> Optional[str]:
-    pointer = os.path.join(work_dir, "latest")
+def _pointer(work_dir: str, name: str) -> Optional[str]:
+    pointer = os.path.join(work_dir, name)
     if not os.path.exists(pointer):
         return None
     with open(pointer) as f:
-        name = f.read().strip()
-    path = os.path.join(work_dir, name)
+        target = f.read().strip()
+    path = os.path.join(work_dir, target)
     return path if os.path.exists(path) else None
+
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    return _pointer(work_dir, "latest")
+
+
+def best_checkpoint(work_dir: str) -> Optional[str]:
+    """Best-metric checkpoint tracked by train_model's eval hook
+    (the EvalHook_Custom save-best equivalent, eval_hooks.py:177-292)."""
+    return _pointer(work_dir, "best")
 
 
 def restore_checkpoint(path: str, state, teacher_vars) -> Tuple[Any, Any, int]:

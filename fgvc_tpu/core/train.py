@@ -56,7 +56,14 @@ def make_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    return optax.adam(make_schedule(cfg, steps_per_epoch), b1=cfg.betas[0], b2=cfg.betas[1])
+    """Adam + schedule, optionally preceded by global-norm gradient clipping
+    (OptimizerHook_Custom's grad_clip, opz_hook.py:26-71)."""
+    adam = optax.adam(
+        make_schedule(cfg, steps_per_epoch), b1=cfg.betas[0], b2=cfg.betas[1]
+    )
+    if cfg.grad_clip is not None:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), adam)
+    return adam
 
 
 def make_multi_optimizer(
@@ -200,11 +207,21 @@ class MixedTrainer:
 
     # -------------------------------------------------------------- #
     def make_train_step(self, tx: optax.GradientTransformation):
+        scale = float(self.cfg.loss_scale)
+
+        def scaled_loss(*a):
+            total, aux = self.loss_fn(*a)
+            return total * scale, aux
+
         def train_step(state: TrainState, teacher_vars, batch, rng):
-            grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+            grad_fn = jax.value_and_grad(scaled_loss, has_aux=True)
             (_, (losses, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, teacher_vars, batch, rng
             )
+            if scale != 1.0:
+                # unscale before clip/step (Fp16OptimizerHook order,
+                # opz_hook.py:74-155)
+                grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(

@@ -132,3 +132,98 @@ def test_per_module_optimizers():
     )
     assert disc_delta == 0.0  # frozen by the zero-lr override
     assert bb_delta > 0.0
+
+
+def test_grad_clip_and_loss_scale_equivalence():
+    """loss_scale must be a numerical no-op (scale then unscale); grad_clip
+    bounds the global update norm (OptimizerHook_Custom parity)."""
+    import dataclasses
+
+    import jax
+
+    from fgvc_tpu.core.train import MixedTrainer, make_optimizer
+
+    cfg, trainer, state0, teacher_vars, tx, batch = _tiny_setup()
+    rng = jax.random.PRNGKey(2)
+    init_kernel = np.asarray(state0.params["backbone"]["conv1"]["kernel"]).copy()
+
+    # the train step donates its state: re-init (same seed) per run
+    def fresh():
+        s, _, _ = trainer.init(jax.random.PRNGKey(0), 10)
+        return s
+
+    s1, l1 = trainer.make_train_step(tx)(state0, teacher_vars, batch, rng)
+
+    cfg_scaled = dataclasses.replace(cfg, loss_scale=512.0)
+    trainer2 = MixedTrainer(cfg_scaled)
+    s2, l2 = trainer2.make_train_step(tx)(fresh(), teacher_vars, batch, rng)
+    # reported losses stay UNSCALED; only the backward pass is scaled
+    np.testing.assert_allclose(float(l1["loss"]), float(l2["loss"]), rtol=1e-5)
+    a = np.asarray(s1.params["backbone"]["conv1"]["kernel"])
+    b = np.asarray(s2.params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+
+    cfg_clip = dataclasses.replace(cfg, grad_clip=1e-8)
+    trainer3 = MixedTrainer(cfg_clip)
+    tx3 = make_optimizer(cfg_clip, 10)
+    state3 = fresh().replace(opt_state=tx3.init(fresh().params))
+    s3, _ = trainer3.make_train_step(tx3)(state3, teacher_vars, batch, rng)
+    # with a vanishing clip threshold the clipped gradient is ~0, so the
+    # Adam update is ~0: params must move far less than the unclipped step
+    d_clip = np.abs(
+        np.asarray(s3.params["backbone"]["conv1"]["kernel"]) - init_kernel
+    ).sum()
+    d_base = np.abs(a - init_kernel).sum()
+    assert np.isfinite(d_clip) and d_clip < 0.1 * d_base
+
+
+def test_best_checkpoint_tracking(tmp_path):
+    """train_model saves/points at the best val checkpoint."""
+    from fgvc_tpu.apis.train import train_model
+    from fgvc_tpu.config import TrainConfig
+    from fgvc_tpu.core.checkpoint import best_checkpoint
+
+    cfg = TrainConfig(radius=2, crop_size=16, batch_size=8)
+    rng = np.random.default_rng(3)
+
+    def batches():
+        while True:
+            yield {
+                "imgs": rng.standard_normal((8, 2, 16, 16, 3)).astype(np.float32),
+                "imgs_sup": rng.standard_normal((8, 2, 16, 16, 3)).astype(np.float32),
+                "flow": rng.standard_normal((8, 16, 16, 2)).astype(np.float32),
+                "flow_back": rng.standard_normal((8, 16, 16, 2)).astype(np.float32),
+            }
+
+    vals = iter([{"average_pts_within_thresh": 10.0},
+                 {"average_pts_within_thresh": 30.0},
+                 {"average_pts_within_thresh": 20.0}])
+    seen_steps = []
+
+    def val_fn(state):
+        seen_steps.append(int(np.asarray(state.step)))
+        return next(vals)
+
+    train_model(
+        cfg,
+        batches(),
+        str(tmp_path),
+        steps_per_epoch=3,
+        max_steps=3,
+        ckpt_interval=100,
+        log_interval=100,
+        resume=False,
+        val_fn=val_fn,
+        val_interval=1,
+    )
+    assert seen_steps == [1, 2, 3]
+    best = best_checkpoint(str(tmp_path))
+    assert best is not None and best.endswith("step_2")
+    import json as _json
+
+    meta = _json.load(open(tmp_path / "best.json"))
+    assert meta == {
+        "step": 2,
+        "metric": "average_pts_within_thresh",
+        "value": 30.0,
+    }

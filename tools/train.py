@@ -39,6 +39,11 @@ def main():
                         help="TAP-Vid DAVIS shards for mid-training eval")
     parser.add_argument("--val-interval", type=int, default=None)
     parser.add_argument("--val-videos", type=int, default=4)
+    parser.add_argument("--synthetic-val", action="store_true",
+                        help="mid-train eval smoke on synthetic shards")
+    parser.add_argument("--grad-clip", type=float, default=None,
+                        help="global-norm gradient clipping")
+    parser.add_argument("--loss-scale", type=float, default=1.0)
     args = parser.parse_args()
 
     import jax
@@ -46,7 +51,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from fgvc_tpu.apis.train import make_tapvid_val_fn, train_model
+    from fgvc_tpu.apis.train import (
+        make_synthetic_val_fn,
+        make_tapvid_val_fn,
+        train_model,
+    )
     from fgvc_tpu.config import TrainConfig
     from fgvc_tpu.datasets.flyingthings_ytv import (
         FlyingThingsYtvDataset,
@@ -60,6 +69,8 @@ def main():
         batch_size=args.batch_size,
         lr=args.lr,
         seed=args.seed,
+        grad_clip=args.grad_clip,
+        loss_scale=args.loss_scale,
     )
 
     if args.synthetic or not args.ytv_root:
@@ -79,11 +90,14 @@ def main():
     total = args.max_steps or cfg.max_epochs * steps_per_epoch
     batches = make_batches(dataset, args.batch_size, total)
 
-    val_fn = (
-        make_tapvid_val_fn(args.val_data_root, max_videos=args.val_videos)
-        if args.val_data_root
-        else None
-    )
+    if args.val_data_root:
+        val_fn = make_tapvid_val_fn(
+            args.val_data_root, max_videos=args.val_videos
+        )
+    elif args.synthetic_val:
+        val_fn = make_synthetic_val_fn(args.work_dir, seed=args.seed)
+    else:
+        val_fn = None
     train_model(
         cfg,
         batches,
