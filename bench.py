@@ -61,15 +61,29 @@ def main():
     out = tracker.track_points(video, query_points)
     jax.block_until_ready(jnp.zeros(()))
 
-    times = []
-    for _ in range(3):
+    runs = []
+    for _ in range(5):
         t0 = time.perf_counter()
         out = tracker.track_points(video, query_points)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    fps = (T - 1) / dt
+        runs.append((T - 1) / (time.perf_counter() - t0))
+    fps = float(np.median(runs))
 
     assert np.all(np.isfinite(out["trajectories"])), "non-finite trajectories"
+
+    # propagation-only: features precomputed, single query group, no host
+    # transfers in the loop — isolates the attention+decode scan
+    feats = tracker._features_padded(video)
+    pts = jnp.asarray(query_points[:, 1:])
+    valid = jnp.ones((query_points.shape[0],), bool)
+    args = (feats, jnp.int32(0), pts, valid)
+    kw = dict(full_hw=cfg.input_size, length=T)
+    float(jnp.sum(tracker._track_group(*args, **kw)))  # warm + sync
+    prop_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(tracker._track_group(*args, **kw)))
+        prop_runs.append((T - 1) / (time.perf_counter() - t0))
+    prop_fps = float(np.median(prop_runs))
 
     print(
         json.dumps(
@@ -78,6 +92,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+                "propagation_only_fps": round(prop_fps, 2),
+                "end_to_end_runs": [round(r, 2) for r in runs],
             }
         )
     )

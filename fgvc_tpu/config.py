@@ -51,10 +51,13 @@ class TestConfig:
     tile: int = 32  # query tile edge for the tiled kernel
     # 'highest' = full f32 on MXU (parity); 'default' = bf16 multiplies.
     matmul_precision: str = "highest"
-    # 'exact' = lax.top_k (bit-parity with the reference); 'approx' = TPU
-    # PartialReduce approx_max_k + gather-free threshold weights (~2×
-    # faster per frame, per-element recall ≈ 0.95).
-    topk_impl: str = "exact"
+    # 'exact' = lax.top_k + value gather (bit-parity with the reference);
+    # 'segmented' = EXACT segment-max prefiltered top-k + gather-free
+    # thresholded value matmul (identical results except on exact affinity
+    # ties at the k-th value — measure-zero for real features);
+    # 'approx' = TPU PartialReduce approx_max_k + gather-free threshold
+    # weights (fastest, per-element recall ≈ 0.95).
+    topk_impl: str = "segmented"
 
 
 DAVIS_TEST_CFG = TestConfig(step=512)

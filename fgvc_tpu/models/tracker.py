@@ -559,12 +559,13 @@ class Tracker:
 
     # ------------------------------------------------------------------ #
     def _features_padded(self, video: np.ndarray) -> jax.Array:
-        """Extract features for the video padded by one extra frame bucket,
-        so per-group dynamic slices never clamp."""
+        """Extract features for the T real frames, then zero-pad the feature
+        bank by one extra frame bucket so per-group dynamic slices never
+        clamp.  Padding the FEATURES (a cheap copy) instead of the video
+        avoids running the backbone over up to 2×frame_bucket wasted frames;
+        padded-slot outputs are either key_valid-masked or discarded."""
         cfg = self.cfg
         T = video.shape[0]
         t_pad = _bucket(T, cfg.frame_bucket) + cfg.frame_bucket
-        video_p = np.concatenate(
-            [video, np.repeat(video[-1:], t_pad - T, axis=0)], axis=0
-        )
-        return self.extract_features(jnp.asarray(video_p))
+        feats = self.extract_features(jnp.asarray(video))
+        return jnp.pad(feats, ((0, t_pad - T), (0, 0), (0, 0), (0, 0)))

@@ -48,6 +48,44 @@ def sincos_embedding_1d(dim: int, positions: jax.Array) -> jax.Array:
     return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
 
 
+def _pips_interleaved_pe(v: jax.Array, C: int) -> jax.Array:
+    """PIPS-style interleaved sin/cos embedding of one scalar channel.
+
+    Matches get_2d/3d_embedding's div_term = arange(0, C, 2) * (1000 / C)
+    with sin at even and cos at odd output positions
+    (/root/reference/mmpt/models/common/embedding.py:61-113).
+    """
+    div = jnp.arange(0, C, 2, dtype=jnp.float32) * (1000.0 / C)
+    s = jnp.sin(v[..., None] * div)  # (..., C/2)
+    c = jnp.cos(v[..., None] * div)
+    return jnp.stack([s, c], axis=-1).reshape(*v.shape, C)
+
+
+def get_2d_embedding(xy: jax.Array, C: int, cat_coords: bool = True) -> jax.Array:
+    """(..., 2) coords -> (..., 2C [+2]) PIPS positional embedding.
+
+    Port of embedding.py:61-83 (note: coords are PREPENDED there)."""
+    pe = jnp.concatenate(
+        [_pips_interleaved_pe(xy[..., 0], C), _pips_interleaved_pe(xy[..., 1], C)],
+        axis=-1,
+    )
+    if cat_coords:
+        pe = jnp.concatenate([xy, pe], axis=-1)
+    return pe
+
+
+def get_3d_embedding(xyz: jax.Array, C: int, cat_coords: bool = True) -> jax.Array:
+    """(..., 3) coords -> (..., 3C [+3]) PIPS positional embedding.
+
+    Port of embedding.py:86-113 (coords APPENDED there)."""
+    pe = jnp.concatenate(
+        [_pips_interleaved_pe(xyz[..., i], C) for i in range(3)], axis=-1
+    )
+    if cat_coords:
+        pe = jnp.concatenate([pe, xyz], axis=-1)
+    return pe
+
+
 def sincos_embedding_2d(dim: int, height: int, width: int) -> jax.Array:
     """(H, W, dim) 2-D sine/cosine grid embedding (half x, half y)."""
     assert dim % 4 == 0

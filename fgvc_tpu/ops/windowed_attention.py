@@ -193,6 +193,41 @@ def masked_topk_attention_tiled(
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
+        elif topk is not None and mode == "softmax" and topk_impl == "segmented":
+            # EXACT top-k via segment-max prefiltering (ops/topk.py: the
+            # bitonic sort runs over k·seg candidates instead of K) + the
+            # same gather-free thresholded value matmul as approx mode.
+            # Numerically identical to the exact path except on exact
+            # affinity ties at the k-th value (measure-zero for real
+            # features): every entry ≥ the k-th affinity gets weighted.
+            from fgvc_tpu.ops.topk import topk_segmented
+
+            w10, _ = topk_segmented(aff, topk, seg=512)
+            m = jnp.maximum(jnp.max(w10, -1, keepdims=True), -1e30)
+            thresh = jnp.maximum(jnp.min(w10, -1, keepdims=True), -1e30)
+            z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
+            # Tie-split correction: duplicated first-frame keys (the
+            # reference's t <= precede_frames quirk) produce EXACT affinity
+            # ties; when the tie straddles the k-boundary only part of the
+            # tied group is inside the top-k. Tied columns carry identical
+            # values (same key frame, same value map), so giving each tied
+            # column an equal fraction of the remaining budget reproduces
+            # the exact-top-k output bit-for-parity.
+            above = (aff > thresh).astype(jnp.float32)          # strictly in
+            at = (aff == thresh).astype(jnp.float32)            # tied at k-th
+            n_at = jnp.sum(at, axis=-1, keepdims=True)
+            n_sel = jnp.sum(
+                (w10 == thresh).astype(jnp.float32), -1, keepdims=True
+            )  # tied entries the exact top-k actually selected
+            tie_frac = jnp.where(n_at > 0, n_sel / jnp.maximum(n_at, 1.0), 0.0)
+            weights = jnp.exp(aff - m) * (above + tie_frac * at) / z
+            out = jnp.einsum(
+                "sk,kc->sc",
+                weights,
+                v_t.reshape(K, Cv),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
         elif topk is not None:
             w, idxs = jax.lax.top_k(aff, topk)  # (S, k)
             if mode == "softmax":
