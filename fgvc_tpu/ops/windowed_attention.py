@@ -34,8 +34,9 @@ import jax.numpy as jnp
 from fgvc_tpu.ops.attention import l2_normalize
 
 _PRECISIONS = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,   # 6-pass f32 on MXU (parity)
+    "high": jax.lax.Precision.HIGH,         # 3-pass bf16x3 (~2^-21 rel err)
+    "default": jax.lax.Precision.DEFAULT,   # plain bf16 multiplies
 }
 
 
@@ -186,6 +187,46 @@ def masked_topk_attention_tiled(
             z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
             step = jnp.clip(jnp.sign(aff - thresh) + 1.0, 0.0, 1.0)
             weights = jnp.exp(aff - m) * step / z
+            out = jnp.einsum(
+                "sk,kc->sc",
+                weights,
+                v_t.reshape(K, Cv),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        elif topk is not None and mode == "softmax" and topk_impl == "certified":
+            # EXACT top-k at ~approx speed: oversampled approx_max_k gives
+            # k'=max(32, 2k) candidates via the TPU PartialReduce unit; a
+            # one-pass count certificate proves every element strictly above
+            # the candidate floor is inside the candidate set (hence the true
+            # top-k is); the rare failure falls back to lax.top_k. The value
+            # lookup is the same gather-free thresholded matmul with the
+            # tie-split correction as the segmented path.
+            kp = max(32, 2 * topk)
+            cand, _ = jax.lax.approx_max_k(
+                aff, kp, recall_target=0.95, aggregate_to_topk=True
+            )
+            floor = jnp.maximum(jnp.min(cand, -1, keepdims=True), -1e30)
+            n_above_all = jnp.sum(aff > floor, axis=-1)
+            n_above_cand = jnp.sum(cand > floor, axis=-1)
+            certified = jnp.all(n_above_all == n_above_cand)
+
+            w10 = jax.lax.cond(
+                certified,
+                lambda: jax.lax.top_k(cand, topk)[0],
+                lambda: jax.lax.top_k(aff, topk)[0],
+            )
+            m = jnp.maximum(jnp.max(w10, -1, keepdims=True), -1e30)
+            thresh = jnp.maximum(jnp.min(w10, -1, keepdims=True), -1e30)
+            z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
+            above = (aff > thresh).astype(jnp.float32)
+            at = (aff == thresh).astype(jnp.float32)
+            n_at = jnp.sum(at, axis=-1, keepdims=True)
+            n_sel = jnp.sum(
+                (w10 == thresh).astype(jnp.float32), -1, keepdims=True
+            )
+            tie_frac = jnp.where(n_at > 0, n_sel / jnp.maximum(n_at, 1.0), 0.0)
+            weights = jnp.exp(aff - m) * (above + tie_frac * at) / z
             out = jnp.einsum(
                 "sk,kc->sc",
                 weights,
