@@ -29,3 +29,10 @@ for impl in ("exact", "certified", "approx"):
                     radius=radius, temperature=0.07, topk=10, tile=tile,
                     key_valid=kv, precision=prec, topk_impl=impl)
         print(f"impl={impl:9s} prec={prec:8s} {ms:6.2f} ms/frame")
+
+from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+for cd in ("float32", "bfloat16"):
+    ms = timeit(fused_topk_attention, q, k, v,
+                radius=radius, temperature=0.07, topk=10, tile=16,
+                key_valid=kv, compute_dtype=cd)
+    print(f"pallas-v2 tile=16 dtype={cd:9s} {ms:6.2f} ms/frame")

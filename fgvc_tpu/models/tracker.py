@@ -117,12 +117,15 @@ class Tracker:
                 temperature=cfg.temperature,
                 topk=cfg.topk,
                 normalize=do_norm,
-                tile=cfg.tile,
+                # the single-pass kernel keeps the whole (tile², T·win²)
+                # affinity in VMEM — cap the tile edge at 16
+                tile=min(cfg.tile, 16),
                 mask_shape=mask_shape,
                 key_valid=key_valid,
                 compute_dtype=(
                     "bfloat16" if cfg.matmul_precision == "default" else "float32"
                 ),
+                interpret=jax.default_backend() == "cpu",
             )
         if cfg.attention_impl == "tiled" and non_mask_len == 0:
             return masked_topk_attention_tiled(
@@ -167,6 +170,7 @@ class Tracker:
         T, h, w, C = feats.shape
         non_mask_len = 0 if cfg.with_first_neighbor else 1
         bank_mode = cfg.attention_impl == "tiled" and non_mask_len == 0
+        pallas_bank = cfg.attention_impl == "pallas" and non_mask_len == 0
         radius = cfg.neighbor_range // 2
         halo = int(radius)
 
@@ -176,7 +180,26 @@ class Tracker:
             pad_key_bank,
         )
 
-        if bank_mode:
+        if pallas_bank:
+            from fgvc_tpu.ops.pallas.topk_attention import (
+                fused_topk_attention_banked,
+                pad_key_bank_pallas,
+            )
+
+            p_tile = min(cfg.tile, 16)
+            compute_dtype = (
+                "bfloat16" if cfg.matmul_precision == "default" else "float32"
+            )
+            bank_pad = pad_key_bank_pallas(
+                feats,
+                float(radius),
+                tile=p_tile,
+                normalize=cfg.with_norm,
+                compute_dtype=compute_dtype,
+            )
+            Hp = _bucket(h, p_tile)
+            Wp = _bucket(w, p_tile)
+        elif bank_mode:
             if cfg.with_norm:
                 bank_pad = pad_key_bank(feats, float(radius), cfg.tile)
             else:
@@ -235,6 +258,31 @@ class Tracker:
             new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
             return new_buf, emit(seg_logit)
 
+        def step_pallas(value_buf, t):
+            idx, key_valid = window_indices(t)
+            # query slice at the bank's padded origin (halo, halo)
+            qpad = jax.lax.dynamic_slice(
+                bank_pad, (t, halo, halo, 0), (1, Hp, Wp, C)
+            )[0]
+            values = jnp.concatenate([first_value[None], value_buf], axis=0)
+            seg_logit = fused_topk_attention_banked(
+                qpad,
+                bank_pad,
+                values,
+                frame_idx=idx.astype(jnp.int32),
+                key_valid=key_valid,
+                H=h,
+                W=w,
+                radius=float(radius),
+                temperature=cfg.temperature,
+                topk=cfg.topk,
+                tile=p_tile,
+                mask_shape=mask_shape,
+                interpret=jax.default_backend() == "cpu",
+            )
+            new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
+            return new_buf, emit(seg_logit)
+
         def step_legacy(value_buf, t):
             idx, key_valid = window_indices(t)
             query = feats[t]
@@ -250,9 +298,13 @@ class Tracker:
         # Slots holding pre-video indices are masked via key_valid, so the
         # initial buffer content is never read.
         init_buf = jnp.tile(first_value[None], (cfg.precede_frames, 1, 1, 1))
-        _, outs = jax.lax.scan(
-            step_bank if bank_mode else step_legacy, init_buf, jnp.arange(1, T)
-        )
+        if pallas_bank:
+            step = step_pallas
+        elif bank_mode:
+            step = step_bank
+        else:
+            step = step_legacy
+        _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
         return outs
 
     def _propagate_impl(

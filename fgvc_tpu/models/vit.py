@@ -78,6 +78,164 @@ def vit_small_d8() -> VisionTransformer:
     return VisionTransformer(patch=8, dim=384, depth=12, heads=6)
 
 
+# --------------------------------------------------------------------- #
+# DINO-faithful ViT: loads released DINO/DINOv1 checkpoints
+# (the reference's VisionTransformerDinoV1 ablation encoder,
+#  /root/reference/mmpt/models/backbones/vision_transformer.py)
+# --------------------------------------------------------------------- #
+class DinoAttention(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, D)
+        B, N, D = x.shape
+        hd = D // self.heads
+        qkv = nn.Dense(3 * D, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(jnp.float32(hd))
+        a = jax.nn.softmax(a, axis=-1)
+        y = jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, D)
+        return nn.Dense(D, name="proj")(y)
+
+
+class DinoBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + DinoAttention(self.dim, self.heads, name="attn")(
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        )
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
+        y = nn.Dense(self.dim, name="mlp_fc2")(y)
+        return x + y
+
+
+class DinoVisionTransformer(nn.Module):
+    """DINO ViT: cls token + learned positions (bicubic-interpolated to the
+    input grid, like interpolate_pos_encoding) + pre-norm blocks.
+
+    Returns the (B, H/patch, W/patch, dim) PATCH-token feature map after the
+    final LayerNorm — the dense-correspondence features the reference's
+    DINO ablations use.
+    """
+
+    patch: int = 8
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    pos_grid: int = 28  # training-time grid edge (224/8)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, _ = x.shape
+        h, w = H // self.patch, W // self.patch
+        x = nn.Conv(
+            self.dim,
+            (self.patch, self.patch),
+            strides=(self.patch, self.patch),
+            name="patch_embed",
+        )(x)
+        x = x.reshape(B, h * w, self.dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, self.pos_grid * self.pos_grid + 1, self.dim),
+        )
+        cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
+        if (h, w) != (self.pos_grid, self.pos_grid):
+            g = grid_pos.reshape(1, self.pos_grid, self.pos_grid, self.dim)
+            g = jax.image.resize(g, (1, h, w, self.dim), method="bicubic")
+            grid_pos = g.reshape(1, h * w, self.dim)
+        x = x + grid_pos
+        cls_tok = jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+
+        for i in range(self.depth):
+            x = DinoBlock(self.dim, self.heads, name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return x[:, 1:].reshape(B, h, w, self.dim)
+
+
+def dino_vit_small(patch: int = 8) -> DinoVisionTransformer:
+    return DinoVisionTransformer(patch=patch, dim=384, depth=12, heads=6,
+                                 pos_grid=224 // patch)
+
+
+def dino_vit_base(patch: int = 8) -> DinoVisionTransformer:
+    return DinoVisionTransformer(patch=patch, dim=768, depth=12, heads=12,
+                                 pos_grid=224 // patch)
+
+
+def convert_dino_vit_state_dict(state, prefix: str = ""):
+    """Official DINO checkpoint (timm-style naming) → DinoVisionTransformer
+    variables. Raises on unconverted keys (no silent partial loads)."""
+    import numpy as np
+
+    p = prefix
+    state = {
+        k.removeprefix("module.").removeprefix(p): np.asarray(v)
+        for k, v in state.items()
+        if not k.endswith("head.weight") and not k.endswith("head.bias")
+    }
+    params = {}
+    consumed = set()
+
+    def take(k):
+        consumed.add(k)
+        return state[k]
+
+    params["cls_token"] = take("cls_token")
+    params["pos_embed"] = take("pos_embed")
+    params["patch_embed"] = {
+        "kernel": np.transpose(take("patch_embed.proj.weight"), (2, 3, 1, 0)),
+        "bias": take("patch_embed.proj.bias"),
+    }
+    params["norm"] = {
+        "scale": take("norm.weight"),
+        "bias": take("norm.bias"),
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in state:
+        b = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": {"scale": take(f"{b}.norm1.weight"),
+                      "bias": take(f"{b}.norm1.bias")},
+            "norm2": {"scale": take(f"{b}.norm2.weight"),
+                      "bias": take(f"{b}.norm2.bias")},
+            "attn": {
+                "qkv": {"kernel": take(f"{b}.attn.qkv.weight").T,
+                        "bias": take(f"{b}.attn.qkv.bias")},
+                "proj": {"kernel": take(f"{b}.attn.proj.weight").T,
+                         "bias": take(f"{b}.attn.proj.bias")},
+            },
+            "mlp_fc1": {"kernel": take(f"{b}.mlp.fc1.weight").T,
+                        "bias": take(f"{b}.mlp.fc1.bias")},
+            "mlp_fc2": {"kernel": take(f"{b}.mlp.fc2.weight").T,
+                        "bias": take(f"{b}.mlp.fc2.bias")},
+        }
+        i += 1
+
+    leftover = set(state) - consumed
+    if leftover:
+        raise ValueError(
+            f"unconverted DINO ViT keys: {sorted(leftover)[:8]}"
+        )
+    import jax.numpy as jnp_
+
+    return {"params": jax.tree_util.tree_map(jnp_.asarray, params)}
+
+
 class Conv2Plus1D(nn.Module):
     """(2+1)-D factorized convolution (Conv2plus1d equivalent,
     /root/reference/mmpt/models/common/conv2plus1d.py:6): a spatial k×k conv

@@ -1,27 +1,31 @@
-"""Fused windowed top-k attention — Pallas TPU kernel.
+"""Fused windowed top-k attention — single-pass Pallas TPU kernel.
 
 The hot op of the framework (label propagation: each query tile attends over
 a radius-masked halo of T key frames, top-k softmax, value propagation)
-fused into one kernel so the (S, T·win²) affinity never leaves VMEM:
+fused into one kernel. v2 design (kernel roadmap item 1): the query tile is
+small enough (tile=16 → S=256) that the FULL (S, T·win²) affinity block
+stays resident in VMEM, so everything happens in ONE pass:
 
-  pass 1: per key frame, DMA its halo window HBM→VMEM; per window-row chunk
-          compute the affinity block on the MXU and extract the chunk's
-          top-k by k rounds of (row-max → wipe-one-occurrence) on the VPU —
-          no bitonic sort; chunk top-k's land in a small candidate buffer,
-  inter:  global top-k statistics (max, k-th value, softmax partition Z)
-          from k extraction rounds over the candidates,
-  pass 2: re-DMA each window, recompute each affinity block, and accumulate
-          output += exp(aff − max)·[aff ≥ kth]/Z @ values — a dense MXU
-          matmul instead of a scattered gather.
+  1. per key frame, DMA its halo window HBM→VMEM (double-buffered) and
+     compute the affinity block on the MXU straight into a VMEM scratch,
+  2. exact top-k statistics by at most k rounds of DISTINCT-value
+     extraction (row-max → count ties → wipe all occurrences) on the VPU —
+     no bitonic sort, no affinity recompute, duplicate keys counted exactly,
+  3. per key frame, DMA its value halo and accumulate
+     output += exp(aff − max)·[aff > kth] (+ fractional tie share) @ V —
+     a dense MXU matmul instead of a scattered gather, reading the affinity
+     back from VMEM.
+
+Frame indices arrive through SMEM, so the key/value HBM operands can be a
+FULL per-video bank indexed by the sliding window (first + preceding
+frames) — no per-step gather of multi-GB banks (roadmap item 3).
 
 Semantics match the XLA kernels (ops/windowed_attention.py) and therefore
 the reference masked_attention_efficient
-(/root/reference/mmpt/models/common/local_attention.py:267), with one
-documented tie caveat: keys whose affinity exactly equals the k-th value are
-all selected (the duplicated-first-frame keys of early steps are still
-counted exactly, because extraction wipes one occurrence at a time).
+(/root/reference/mmpt/models/common/local_attention.py:267), including the
+duplicated-first-frame tie handling of early steps.
 
-VMEM peak ≈ 12 MB at DAVIS shapes (tile 32, halo 15, T 6, C 256, Pp 128).
+VMEM peak ≈ 22 MB at DAVIS shapes (tile 16, halo 15, T 6, C 256, Pp 128).
 """
 
 from __future__ import annotations
@@ -56,18 +60,17 @@ def _make_kernel(
     inv_temp: float,
     radius: float,
     square: bool,
-    rows_per_chunk: int,
     dtype,
 ):
     win = tile + 2 * halo
-    wpad = _round_up(win, 8)  # HBM slice widths must align to sublane tiling
-    rows_pad = _round_up(win, rows_per_chunk)
-    n_chunks = rows_pad // rows_per_chunk
+    wpad = _round_up(win, 8)   # HBM slice widths must align to sublane tiling
+    rows_pad = _round_up(win, 8)
     S = tile * tile
-    chunk = rows_per_chunk * wpad  # keys per chunk (incl. masked pad cols)
-    n_cand = _round_up(T * n_chunks * topk, 128)
+    FK = rows_pad * wpad       # keys per frame block (incl. masked pad)
+    K = T * FK
 
-    def kernel(q_ref, k_hbm, v_hbm, fb_ref, out_ref, k_buf, v_buf, sem):
+    def kernel(idx_ref, fb_ref, q_ref, k_hbm, v_hbm, out_ref,
+               aff_ref, k_buf, v_buf, sem):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         r0 = ti * tile
@@ -79,44 +82,52 @@ def _make_kernel(
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         qi = (s_iota // tile).astype(jnp.float32)
         qj = (s_iota % tile).astype(jnp.float32)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (S, chunk), 1)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (S, FK), 1)
 
-        def chunk_bias(c):
-            """(S, chunk) additive mask bias for window rows of chunk c."""
-            wi = (c * rows_per_chunk + col_iota // wpad).astype(jnp.float32)
-            wj = (col_iota % wpad).astype(jnp.float32)
-            dy = wi - halo - qi
-            dx = wj - halo - qj
-            if square:
-                in_range = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
-            else:
-                in_range = dy * dy + dx * dx < radius * radius
-            kgi = r0 + wi - halo
-            kgj = c0 + wj - halo
-            in_img = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
-            ok = in_range & in_img & (wi < win) & (wj < win)
-            return jnp.where(ok, 0.0, NEG)
+        # frame-invariant mask bias over one frame block (S, FK)
+        wi = (col_iota // wpad).astype(jnp.float32)
+        wj = (col_iota % wpad).astype(jnp.float32)
+        dy = wi - halo - qi
+        dx = wj - halo - qj
+        if square:
+            in_range = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
+        else:
+            in_range = dy * dy + dx * dx < radius * radius
+        kgi = r0 + wi - halo
+        kgj = c0 + wj - halo
+        in_img = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
+        ok = in_range & in_img & (wi < win) & (wj < win)
+        bias = jnp.where(ok, 0.0, NEG)
 
-        def chunk_dma(hbm, buf, slot, t, c, sem_base):
-            # DMA frame t / chunk c rows into a double-buffer slot
+        def k_dma(slot, t):
             return pltpu.make_async_copy(
-                hbm.at[
-                    t,
-                    pl.ds(r0 + c * rows_per_chunk, rows_per_chunk),
-                    pl.ds(c0, wpad),
-                    :,
-                ],
-                buf.at[slot],
-                sem.at[sem_base + slot],
+                k_hbm.at[idx_ref[t], pl.ds(r0, rows_pad), pl.ds(c0, wpad), :],
+                k_buf.at[slot],
+                sem.at[slot],
             )
 
-        def affinity(slot, t, bias_c):
-            # affinity for the already-loaded k slot; bf16 inputs hit the
-            # MXU natively (~6x the f32 6-pass path), f32 accumulation
+        def v_dma(slot, t):
+            return pltpu.make_async_copy(
+                v_hbm.at[t, pl.ds(r0, rows_pad), pl.ds(c0, wpad), :],
+                v_buf.at[slot],
+                sem.at[2 + slot],
+            )
+
+        # ---------- pass A: affinity into VMEM, one matmul per frame ------- #
+        k_dma(0, 0).start()
+
+        def pa_frame(t, _):
+            slot = t % 2
+
+            @pl.when(t + 1 < T)
+            def _():
+                k_dma((t + 1) % 2, t + 1).start()
+
+            k_dma(slot, t).wait()
             aff = (
                 jax.lax.dot_general(
                     q,
-                    k_buf[slot].reshape(chunk, C),
+                    k_buf[slot].reshape(FK, C),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=(
@@ -127,144 +138,114 @@ def _make_kernel(
                 )
                 * inv_temp
             )
-            return aff + bias_c + fb_ref[0, t]
+            aff_ref[:, pl.ds(t * FK, FK)] = aff + bias + fb_ref[T + t]
+            return 0
 
-        def wipe_one(a, m, iota):
-            """Set the first occurrence of the row max m to NEG."""
-            pos = jnp.min(
-                jnp.where(a >= m, iota, jnp.int32(2**30)),
-                axis=-1,
-                keepdims=True,
-            )
-            return jnp.where(iota == pos, NEG, a)
+        jax.lax.fori_loop(0, T, pa_frame, 0)
 
-        # ---------------- pass 1: running sorted top-k ---------------- #
-        # `run` (S, RUNW) holds the best-so-far values sorted descending in
-        # the first `topk` lanes.  Each chunk's top-k is extracted by k
-        # (row-max → wipe-one) rounds and merged by a vectorized
-        # compare-and-shift insertion (roll + select) — no sorts, no
-        # dynamic lane indexing.
+        # ---------- pass B: distinct-value top-k stats on the VPU ---------- #
+        # Round r finds the largest affinity STRICTLY below round r-1's
+        # value and counts its occurrences — a read-only descending scan of
+        # the resident affinity (values per round strictly decrease, so at
+        # most k rounds cover >= k elements; ties inflate counts).
         RUNW = 128
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, RUNW), 1)
 
-        def insert(run, m):
-            pos = jnp.sum((run > m).astype(jnp.int32), axis=-1, keepdims=True)
-            shifted = pltpu.roll(run, 1, 1)
-            return jnp.where(
-                lane < pos, run, jnp.where(lane == pos, m, shifted)
+        def round_fn(r, carry):
+            vals, cnts, prev = carry
+            a = aff_ref[:]
+            m = jnp.max(jnp.where(a < prev, a, NEG), axis=-1, keepdims=True)
+            c = jnp.sum(
+                ((a >= m) & (a <= m)).astype(jnp.float32),
+                axis=-1,
+                keepdims=True,
             )
+            c = jnp.where(m > NEG / 2, c, 0.0)
+            vals = jnp.where(lane == r, m, vals)
+            cnts = jnp.where(lane == r, c, cnts)
+            return vals, cnts, m
 
-        # chunks outer / frames inner: the mask bias is frame-invariant, so
-        # it is computed once per chunk and reused across all T frames.
-        def p1_chunk(c, run):
-            bias_c = chunk_bias(c)
-            chunk_dma(k_hbm, k_buf, 0, 0, c, 0).start()
-
-            def p1_frame(t, run):
-                slot = t % 2
-
-                @pl.when(t + 1 < T)
-                def _():
-                    chunk_dma(k_hbm, k_buf, (t + 1) % 2, t + 1, c, 0).start()
-
-                chunk_dma(k_hbm, k_buf, slot, t, c, 0).wait()
-
-                def p1_round(r, carry):
-                    aff, run = carry
-                    m = jnp.max(aff, axis=-1, keepdims=True)
-                    return wipe_one(aff, m, col_iota), insert(run, m)
-
-                _, run = jax.lax.fori_loop(
-                    0,
-                    topk,
-                    p1_round,
-                    (affinity(slot, t, bias_c), run),
-                    unroll=True,
-                )
-                return run
-
-            return jax.lax.fori_loop(0, T, p1_frame, run)
-
-        run0 = jnp.full((S, RUNW), NEG, jnp.float32)
-        run = jax.lax.fori_loop(0, n_chunks, p1_chunk, run0)
-
-        # ---------------- global top-k stats ---------------- #
-        mmax = run[:, 0:1]
-        thresh = run[:, topk - 1 : topk]
-        in_k = (lane < topk) & (run > NEG / 2)
-        z = jnp.sum(
-            jnp.where(in_k, jnp.exp(run - mmax), 0.0), axis=-1, keepdims=True
+        vals0 = jnp.full((S, RUNW), NEG, jnp.float32)
+        cnts0 = jnp.zeros((S, RUNW), jnp.float32)
+        prev0 = jnp.full((S, 1), jnp.float32(1e30))
+        vals, cnts, _ = jax.lax.fori_loop(
+            0, topk, round_fn, (vals0, cnts0, prev0), unroll=True
         )
+
+        # cumulative counts decide where the k-th value falls
+        # (Mosaic has no cumsum primitive: inclusive prefix-sum over the 128
+        # run lanes as a matmul against a lower-triangular ones matrix)
+        live = (lane < topk) & (vals > NEG / 2)
+        cnts = jnp.where(live, cnts, 0.0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (RUNW, RUNW), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (RUNW, RUNW), 1)
+        lower_tri = (li <= lj).astype(jnp.float32)
+        cum = jax.lax.dot_general(
+            cnts,
+            lower_tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        prev = cum - cnts
+        # selected count per distinct value: full below the boundary,
+        # partial at the boundary round
+        sel = jnp.clip(jnp.float32(topk) - prev, 0.0, cnts)
+        taking = live & (sel > 0.0)
+
+        mmax = vals[:, 0:1]
+        # threshold = last distinct value with sel > 0
+        thresh = jnp.min(
+            jnp.where(taking, vals, jnp.inf), axis=-1, keepdims=True
+        )
+        thresh = jnp.where(jnp.isfinite(thresh), thresh, NEG)
+        e_vals = jnp.exp(jnp.minimum(vals - mmax, 0.0))
+        z = jnp.sum(jnp.where(taking, e_vals * sel, 0.0), -1, keepdims=True)
         z = jnp.maximum(z, 1e-30)
-
-        # ---------------- pass 2: value accumulation ---------------- #
-        # Exact top-k tie handling: keys strictly above the k-th value get
-        # their full softmax weight; keys EQUAL to the k-th value share the
-        # remaining (k - n_above) slots fractionally.  With the duplicated
-        # first-frame keys of early steps (identical keys AND values) this
-        # reproduces the reference's pick-one-copy top-k bit-exactly.
-        def p2_chunk(c, carry):
-            bias_c = chunk_bias(c)
-            chunk_dma(k_hbm, k_buf, 0, 0, c, 0).start()
-            chunk_dma(v_hbm, v_buf, 0, 0, c, 2).start()
-
-            def p2_frame(t, carry):
-                acc, acc_at, n_above, cnt_at = carry
-                slot = t % 2
-
-                @pl.when(t + 1 < T)
-                def _():
-                    chunk_dma(k_hbm, k_buf, (t + 1) % 2, t + 1, c, 0).start()
-                    chunk_dma(v_hbm, v_buf, (t + 1) % 2, t + 1, c, 2).start()
-
-                chunk_dma(k_hbm, k_buf, slot, t, c, 0).wait()
-                chunk_dma(v_hbm, v_buf, slot, t, c, 2).wait()
-                aff = affinity(slot, t, bias_c)
-                d = jnp.sign(aff - thresh)
-                above = jnp.clip(d, 0.0, 1.0)               # aff > thresh
-                at = (1.0 - jnp.abs(d)) * jnp.clip(         # aff == thresh,
-                    jnp.sign(aff - NEG / 2) + 1.0, 0.0, 1.0  # excluding masked
-                )
-                e = jnp.exp(jnp.minimum(aff - mmax, 0.0))
-                vc = v_buf[slot].reshape(chunk, Pp)
-                acc = acc + jax.lax.dot_general(
-                    e * above,
-                    vc,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                acc_at = acc_at + jax.lax.dot_general(
-                    at,
-                    vc,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                n_above = n_above + jnp.sum(above, axis=-1, keepdims=True)
-                cnt_at = cnt_at + jnp.sum(at, axis=-1, keepdims=True)
-                return acc, acc_at, n_above, cnt_at
-
-            return jax.lax.fori_loop(0, T, p2_frame, carry)
-
-        acc, acc_at, n_above, cnt_at = jax.lax.fori_loop(
-            0,
-            n_chunks,
-            p2_chunk,
-            (
-                jnp.zeros((S, Pp), jnp.float32),
-                jnp.zeros((S, Pp), jnp.float32),
-                jnp.zeros((S, 1), jnp.float32),
-                jnp.zeros((S, 1), jnp.float32),
-            ),
+        # fractional share for ties exactly at the threshold
+        n_above = jnp.sum(
+            jnp.where(taking & (vals > thresh), cnts, 0.0), -1, keepdims=True
         )
+        cnt_at_total = jnp.sum(
+            jnp.where(live & (vals <= thresh) & (vals >= thresh), cnts, 0.0),
+            -1,
+            keepdims=True,
+        )
+        frac = (jnp.float32(topk) - n_above) / jnp.maximum(cnt_at_total, 1.0)
 
-        frac = (topk - n_above) / jnp.maximum(cnt_at, 1.0)
-        e_th = jnp.exp(jnp.minimum(thresh - mmax, 0.0))
-        out = (acc + e_th * frac * acc_at) / z
-        out_ref[:] = out.reshape(tile, tile, Pp)
+        # ---------- pass C: value accumulation from resident affinity ------ #
+        v_dma(0, 0).start()
 
-    return kernel, rows_pad, wpad, n_cand
+        def pc_frame(t, acc):
+            slot = t % 2
+
+            @pl.when(t + 1 < T)
+            def _():
+                v_dma((t + 1) % 2, t + 1).start()
+
+            v_dma(slot, t).wait()
+            aff = aff_ref[:, pl.ds(t * FK, FK)]
+            d = jnp.sign(aff - thresh)
+            above = jnp.clip(d, 0.0, 1.0)                # aff > thresh
+            at = (1.0 - jnp.abs(d)) * jnp.clip(          # aff == thresh,
+                jnp.sign(aff - NEG / 2) + 1.0, 0.0, 1.0  # excluding masked
+            )
+            w = jnp.exp(jnp.minimum(aff - mmax, 0.0)) * (above + frac * at)
+            acc = acc + jax.lax.dot_general(
+                w,
+                v_buf[slot].reshape(FK, Pp),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, T, pc_frame, jnp.zeros((S, Pp), jnp.float32)
+        )
+        out_ref[:] = (acc / z).reshape(tile, tile, Pp)
+
+    return kernel, rows_pad, wpad, FK, K
 
 
 @functools.partial(
@@ -282,27 +263,31 @@ def _make_kernel(
 )
 def fused_topk_attention(
     query: jax.Array,    # (H, W, C)
-    key: jax.Array,      # (T, H, W, C)
+    key: jax.Array,      # (Tb, H, W, C) key bank (>= T frames)
     value: jax.Array,    # (T, H, W, Cv)
     *,
     radius: float,
     temperature: float = 1.0,
     topk: int = 10,
     normalize: bool = True,
-    tile: int = 32,
+    tile: int = 16,
     mask_shape: str = "circle",
     key_valid: Optional[jax.Array] = None,
+    frame_idx: Optional[jax.Array] = None,  # (T,) int32 into the key bank
     compute_dtype: str = "float32",
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas-fused masked_topk_attention_tiled (softmax mode).
 
+    `frame_idx` selects which bank frames serve as keys (bank-direct mode);
+    without it the first T=value.shape[0] frames are used in order.
+
     compute_dtype 'bfloat16' computes affinities from bf16 query/key on the
-    native MXU path (f32 accumulation) — ~3x faster end to end, affinity
-    error ~1e-2 relative (may flip near-tied top-k members).
+    native MXU path (f32 accumulation) — ~2x faster, affinity error ~1e-2
+    relative (may flip near-tied top-k members).
     """
     H, W, C = query.shape
-    T = key.shape[0]
+    T = value.shape[0]
     Cv = value.shape[-1]
 
     halo = int(radius)
@@ -311,9 +296,6 @@ def fused_topk_attention(
     Wp = _round_up(W, tile)
     nth, ntw = Hp // tile, Wp // tile
     Pp = _round_up(Cv, 128)
-    # (S, chunk) affinity block ≈ (tile², 16·wpad) ≈ 4 MB — several live
-    # copies must fit the raised VMEM budget
-    rows_per_chunk = 32
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     if normalize:
@@ -322,15 +304,15 @@ def fused_topk_attention(
     query = query.astype(dtype)
     key = key.astype(dtype)
 
-    wpad_extra = _round_up(win, 8) - win
-    rows_extra = _round_up(win, rows_per_chunk) - win
+    rows_pad = _round_up(win, 8)
+    wpad = _round_up(win, 8)
     qpad = jnp.pad(query, ((0, Hp - H), (0, Wp - W), (0, 0)))
     kpad = jnp.pad(
         key,
         (
             (0, 0),
-            (halo, halo + Hp - H + rows_extra),
-            (halo, halo + Wp - W + wpad_extra),
+            (halo, halo + Hp - H + (rows_pad - win)),
+            (halo, halo + Wp - W + (wpad - win)),
             (0, 0),
         ),
     )
@@ -338,18 +320,129 @@ def fused_topk_attention(
         value,
         (
             (0, 0),
-            (halo, halo + Hp - H + rows_extra),
-            (halo, halo + Wp - W + wpad_extra),
+            (halo, halo + Hp - H + (rows_pad - win)),
+            (halo, halo + Wp - W + (wpad - win)),
             (0, Pp - Cv),
         ),
     )
 
-    if key_valid is not None:
-        frame_bias = jnp.where(key_valid, 0.0, NEG)[None, :].astype(jnp.float32)
-    else:
-        frame_bias = jnp.zeros((1, T), jnp.float32)
+    return _call_fused_kernel(
+        qpad, kpad, vpad,
+        frame_idx=frame_idx, key_valid=key_valid,
+        H=H, W=W, T=T, Cv=Cv,
+        radius=float(radius), temperature=temperature, topk=topk,
+        tile=tile, mask_shape=mask_shape, dtype=dtype, interpret=interpret,
+    )
 
-    kernel, rows_pad, wpad, n_cand = _make_kernel(
+
+def pad_key_bank_pallas(
+    bank: jax.Array,     # (Tb, H, W, C) raw feature bank
+    radius: float,
+    tile: int = 16,
+    normalize: bool = True,
+    compute_dtype: str = "float32",
+) -> jax.Array:
+    """Normalize + halo-pad a full per-video feature bank ONCE for banked
+    fused-kernel calls (roadmap item 3 — no per-step gathers)."""
+    H, W = bank.shape[1:3]
+    halo = int(radius)
+    win = tile + 2 * halo
+    Hp = _round_up(H, tile)
+    Wp = _round_up(W, tile)
+    rows_pad = _round_up(win, 8)
+    wpad = _round_up(win, 8)
+    if normalize:
+        bank = l2_normalize(bank)
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    bank = bank.astype(dtype)
+    return jnp.pad(
+        bank,
+        (
+            (0, 0),
+            (halo, halo + Hp - H + (rows_pad - win)),
+            (halo, halo + Wp - W + (wpad - win)),
+            (0, 0),
+        ),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "radius", "temperature", "topk", "tile", "mask_shape",
+        "interpret",
+    ),
+)
+def fused_topk_attention_banked(
+    qpad: jax.Array,     # (Hp, Wp, C) normalized padded query (bank dtype)
+    kpad: jax.Array,     # padded bank from pad_key_bank_pallas
+    value: jax.Array,    # (T, H, W, Cv) window value maps (unpadded)
+    *,
+    frame_idx: jax.Array,   # (T,) int32 bank indices of the key window
+    key_valid: Optional[jax.Array],
+    H: int,
+    W: int,
+    radius: float,
+    temperature: float = 1.0,
+    topk: int = 10,
+    tile: int = 16,
+    mask_shape: str = "circle",
+    interpret: bool = False,
+) -> jax.Array:
+    """Bank-direct fused attention: keys are DMA'd per tile straight from the
+    pre-padded full bank at `frame_idx` — built for the propagation scan."""
+    T = value.shape[0]
+    Cv = value.shape[-1]
+    halo = int(radius)
+    win = tile + 2 * halo
+    Hp = _round_up(H, tile)
+    Wp = _round_up(W, tile)
+    Pp = _round_up(Cv, 128)
+    rows_pad = _round_up(win, 8)
+    wpad = _round_up(win, 8)
+    vpad = jnp.pad(
+        value,
+        (
+            (0, 0),
+            (halo, halo + Hp - H + (rows_pad - win)),
+            (halo, halo + Wp - W + (wpad - win)),
+            (0, Pp - Cv),
+        ),
+    )
+    return _call_fused_kernel(
+        qpad, kpad, vpad,
+        frame_idx=frame_idx, key_valid=key_valid,
+        H=H, W=W, T=T, Cv=Cv,
+        radius=float(radius), temperature=temperature, topk=topk,
+        tile=tile, mask_shape=mask_shape, dtype=qpad.dtype,
+        interpret=interpret,
+    )
+
+
+def _call_fused_kernel(
+    qpad, kpad, vpad, *, frame_idx, key_valid, H, W, T, Cv,
+    radius, temperature, topk, tile, mask_shape, dtype, interpret,
+):
+    C = qpad.shape[-1]
+    halo = int(radius)
+    win = tile + 2 * halo
+    Hp = _round_up(H, tile)
+    Wp = _round_up(W, tile)
+    nth, ntw = Hp // tile, Wp // tile
+    Pp = vpad.shape[-1]
+
+    if key_valid is not None:
+        fb = jnp.where(key_valid, 0.0, NEG).astype(jnp.float32)
+    else:
+        fb = jnp.zeros((T,), jnp.float32)
+    if frame_idx is None:
+        frame_idx = jnp.arange(T, dtype=jnp.int32)
+    # scalars: [idx_0..idx_{T-1}] (int SMEM) and [0.. , fb_0..fb_{T-1}]
+    # (float SMEM, bias slots offset by T)
+    idx_smem = frame_idx.astype(jnp.int32)
+    fb_smem = jnp.concatenate([jnp.zeros((T,), jnp.float32), fb])
+
+    kernel, rows_pad, wpad, FK, K = _make_kernel(
         T=T,
         tile=tile,
         halo=halo,
@@ -361,34 +454,36 @@ def fused_topk_attention(
         inv_temp=1.0 / temperature,
         radius=float(radius),
         square=(mask_shape == "square"),
-        rows_per_chunk=rows_per_chunk,
         dtype=dtype,
     )
 
+    S = tile * tile
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp, Pp), jnp.float32),
         grid=(nth, ntw),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (tile, tile, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, T), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile, tile, Pp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rows_per_chunk, wpad, C), dtype),
-            pltpu.VMEM((2, rows_per_chunk, wpad, Pp), jnp.float32),
+            pltpu.VMEM((S, K), jnp.float32),
+            pltpu.VMEM((2, rows_pad, wpad, C), dtype),
+            pltpu.VMEM((2, rows_pad, wpad, Pp), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qpad, kpad, vpad, frame_bias)
+    )(idx_smem, fb_smem, qpad, kpad, vpad)
 
     return out[:H, :W, :Cv]

@@ -96,3 +96,39 @@ def test_track_points_grouping_and_padding():
     # all frames produce finite coordinates for group-0 points
     assert np.all(np.isfinite(traj[:, :2]))
     assert not np.any(out["visibilities"])
+
+
+def test_propagation_pallas_matches_tiled():
+    """The fused Pallas scan path (bank-direct, interpret mode on CPU) must
+    match the XLA tiled scan bit-for-tolerance."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.tracker import Tracker
+    from fgvc_tpu.ops.grids import draw_gaussian_maps
+
+    rng = np.random.default_rng(4)
+    T, h, w, C, P = 6, 16, 16, 8, 3
+    H, W = 32, 32
+    feats = rng.standard_normal((T, h, w, C)).astype(np.float32)
+    base = dict(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        input_size=(H, W), frame_bucket=4, point_bucket=4, tile=8,
+    )
+    pts = rng.uniform(4, 28, size=(P, 2)).astype(np.float32)
+    init_maps = np.asarray(
+        draw_gaussian_maps(jnp.asarray(pts), H, W, sigma=6.0, stride=2)
+    )
+
+    outs = {}
+    for impl in ("tiled", "pallas"):
+        cfg = TestConfig(**base, attention_impl=impl)
+        tr = Tracker(lambda v, x: x, {}, cfg)
+        outs[impl] = np.asarray(
+            tr._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
+        )
+    np.testing.assert_allclose(
+        outs["pallas"], outs["tiled"], rtol=1e-3, atol=5e-3
+    )
