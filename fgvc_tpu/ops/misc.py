@@ -174,3 +174,35 @@ def video2images(video: jax.Array) -> jax.Array:
 
 def images2video(images: jax.Array, clip_len: int) -> jax.Array:
     return images.reshape(clip_len, *images.shape[1:])
+
+
+def bilinear_resize_align_corners(x: jax.Array, size) -> jax.Array:
+    """Bilinear resize with torch align_corners=True semantics.
+
+    jax.image.resize implements half-pixel (align_corners=False) sampling;
+    several reference decoders interpolate with align_corners=True
+    (motion_decoder.py:85-100, res_decoder.py:252). Separable 1-D
+    interpolation as two small matmuls (TPU-friendly, no gathers).
+
+    x: (..., H, W, C); size: (H_out, W_out).
+    """
+    H_out, W_out = size
+    H, W = x.shape[-3], x.shape[-2]
+
+    def interp_matrix(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            return jnp.ones((n_out, n_in), jnp.float32) / n_in
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.clip(jnp.floor(pos), 0, n_in - 2)
+        frac = pos - lo
+        cols = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 1)
+        lo_ = lo[:, None]
+        return (
+            (cols == lo_) * (1.0 - frac[:, None])
+            + (cols == lo_ + 1.0) * frac[:, None]
+        )
+
+    My = interp_matrix(H, H_out)   # (H_out, H)
+    Mx = interp_matrix(W, W_out)   # (W_out, W)
+    y = jnp.einsum("oh,...hwc->...owc", My, x)
+    return jnp.einsum("pw,...hwc->...hpc", Mx, y)

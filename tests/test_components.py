@@ -172,3 +172,87 @@ def test_embeddings_match_reference_semantics():
     assert out3.shape == (2, 4, 3 * C + 3)
     # coords APPENDED for the 3-D variant (reference quirk)
     np.testing.assert_allclose(out3[..., -3:], xyz, rtol=1e-6)
+
+
+def test_bilinear_resize_align_corners_matches_torch_semantics():
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.misc import bilinear_resize_align_corners
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 5, 7, 3)).astype(np.float32)
+    out = np.asarray(bilinear_resize_align_corners(jnp.asarray(x), (9, 13)))
+    assert out.shape == (1, 9, 13, 3)
+    # corners map exactly (the defining align_corners=True property)
+    np.testing.assert_allclose(out[0, 0, 0], x[0, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(out[0, -1, -1], x[0, -1, -1], rtol=1e-6)
+    np.testing.assert_allclose(out[0, 0, -1], x[0, 0, -1], rtol=1e-6)
+    # midpoints interpolate linearly: out row 4 is exactly src row 2
+    np.testing.assert_allclose(out[0, 4, 0], x[0, 2, 0], rtol=1e-5)
+
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        ref = F.interpolate(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            size=(9, 13), mode="bilinear", align_corners=True,
+        ).numpy()
+        np.testing.assert_allclose(
+            out, np.transpose(ref, (0, 2, 3, 1)), rtol=1e-5, atol=1e-6
+        )
+    except ImportError:
+        pass
+
+
+def test_motion_decoders():
+    import jax
+
+    from fgvc_tpu.models.components.decoders import (
+        MotionDecoderPlain,
+        MotionDecoderSkipLayer,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 16, 16, 49)).astype(np.float32)
+    dec = MotionDecoderPlain(output_dim=2, combo=(1, 2, 4))
+    v = dec.init(jax.random.PRNGKey(0), x)
+    out = dec.apply(v, x)
+    assert out.shape == (1, 16, 16, 2)
+
+    skips = {
+        "2": rng.standard_normal((1, 8, 8, 64)).astype(np.float32),
+        "4": rng.standard_normal((1, 4, 4, 128)).astype(np.float32),
+        "8": rng.standard_normal((1, 2, 2, 256)).astype(np.float32),
+    }
+    dec2 = MotionDecoderSkipLayer(output_dim=2)
+    v2 = dec2.init(jax.random.PRNGKey(0), x, skips)
+    out2 = dec2.apply(v2, x, skips)
+    assert out2.shape == (1, 16, 16, 2)
+    assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_corr_res_and_trans_decoders():
+    import jax
+
+    from fgvc_tpu.models.components.decoders import (
+        CorrResDecoder,
+        CorrTransDecoder,
+    )
+
+    rng = np.random.default_rng(8)
+    # correlation volume: 7x7 window, 8x8=64 query grid flattened as channels
+    x = rng.standard_normal((1, 7, 7, 64)).astype(np.float32)
+    dec = CorrResDecoder(channels=(64, 49), sizes=((7, 7), (16, 16)))
+    v = dec.init(jax.random.PRNGKey(0), x, (8, 8))
+    out = dec.apply(v, x, (8, 8))
+    assert out.shape == (1, 16, 16, 49)
+
+    dec2 = CorrTransDecoder(
+        d_models=(64, 49), n_heads=(8, 7), sizes=((7, 7), (16, 16)),
+        pos_emb=False,
+    )
+    v2 = dec2.init(jax.random.PRNGKey(0), x, (8, 8))
+    out2 = dec2.apply(v2, x, (8, 8))
+    assert out2.shape == (1, 16, 16, 49)
+    assert np.all(np.isfinite(np.asarray(out2)))
