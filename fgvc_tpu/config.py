@@ -49,6 +49,11 @@ class TestConfig:
     # 'tiled' (windowed XLA fast path, identical numerics), or 'dense'
     # (reference-shaped chunked kernel).
     attention_impl: str = "pallas"
+    # save_mem: stream features inside the propagation scan (window-bounded
+    # memory, no full bank) — for full-res VOS over long videos; TPU
+    # re-design of the reference's per-chunk recompute mode
+    # (local_attention.py:883-1006).
+    save_mem: bool = False
     tile: int = 32  # query tile edge for the tiled kernel
     # 'highest' = full f32 on MXU (parity); 'default' = bf16 multiplies.
     matmul_precision: str = "highest"

@@ -63,6 +63,10 @@ class Tracker:
         self._propagate_m = jax.jit(
             self._propagate_masks_impl, static_argnames=("full_hw", "mask_shape")
         )
+        self._propagate_m_stream = jax.jit(
+            self._propagate_masks_stream_impl,
+            static_argnames=("full_hw", "mask_shape"),
+        )
         self._track_group = jax.jit(
             self._track_group_impl, static_argnames=("full_hw", "length")
         )
@@ -331,6 +335,77 @@ class Tracker:
         coords0 = decode(first_value)
         return jnp.concatenate([coords0[None], coords], axis=0)  # (T, P, 2)
 
+    def _scan_propagate_streaming(self, video, first_value, mask_shape, emit):
+        """save_mem propagation: NO full feature bank.
+
+        The reference's save_mem mode re-extracts key features per temporal
+        chunk (masked_attention_efficient_correlation,
+        local_attention.py:883-1006) because its bank lives off-device. The
+        TPU re-design streams instead: the scan computes each frame's
+        features ONCE when it becomes the query and rolls them through a
+        (precede_frames)-deep key buffer — window-bounded memory with zero
+        recompute. Full-res 480p VOS over long videos fits HBM this way.
+        """
+        cfg = self.cfg
+        T = video.shape[0]
+
+        def feat(frame):
+            imgs = frame[None]
+            if imgs.dtype == jnp.uint8:
+                imgs = preprocess_rgb_to_lab_normalized(imgs)
+            return self.apply_fn(self.variables, imgs)[0]
+
+        from fgvc_tpu.ops.attention import l2_normalize
+
+        f0 = feat(video[0])
+        if cfg.with_norm:
+            f0 = l2_normalize(f0)
+
+        def step(carry, t):
+            feat_buf, value_buf = carry
+            q = feat(video[t])
+            if cfg.with_norm:
+                q = l2_normalize(q)
+            offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
+            key_valid = jnp.concatenate(
+                [jnp.ones((1,), bool), t + offs >= 0]
+            )
+            keys = jnp.concatenate([f0[None], feat_buf], axis=0)
+            values = jnp.concatenate([first_value[None], value_buf], axis=0)
+            seg_logit = self._attention_step(
+                q, keys, values, key_valid, mask_shape,
+                pre_normalized=cfg.with_norm,
+            )
+            new_carry = (
+                jnp.concatenate([feat_buf[1:], q[None]], axis=0),
+                jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0),
+            )
+            return new_carry, emit(seg_logit)
+
+        feat_buf0 = jnp.tile(f0[None], (cfg.precede_frames, 1, 1, 1))
+        value_buf0 = jnp.tile(first_value[None], (cfg.precede_frames, 1, 1, 1))
+        _, outs = jax.lax.scan(step, (feat_buf0, value_buf0), jnp.arange(1, T))
+        return outs
+
+    def _propagate_masks_stream_impl(
+        self,
+        video: jax.Array,       # (T, H, W, 3) frames (uint8 or Lab floats)
+        init_onehot: jax.Array,
+        full_hw: Tuple[int, int],
+        mask_shape: str = "square",
+    ) -> jax.Array:
+        H_full, W_full = full_hw
+        K = init_onehot.shape[-1]
+
+        def decode(logits):
+            up = jax.image.resize(logits, (H_full, W_full, K), method="bilinear")
+            return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+        masks = self._scan_propagate_streaming(
+            video, init_onehot, mask_shape, decode
+        )
+        return jnp.concatenate([decode(init_onehot)[None], masks], axis=0)
+
     def _propagate_masks_impl(
         self,
         feats: jax.Array,       # (T, h, w, C)
@@ -584,8 +659,14 @@ class Tracker:
         cfg = self.cfg
         T = video.shape[0]
 
-        feats = self._features_padded(video)
-        h, w = feats.shape[1:3]
+        if cfg.save_mem:
+            # streaming mode: only the first frame's features are extracted
+            # up front (to size the value maps); the scan streams the rest
+            f0 = self.extract_features(jnp.asarray(video[:1]))
+            h, w = f0.shape[1:3]
+        else:
+            feats = self._features_padded(video)
+            h, w = feats.shape[1:3]
 
         labels = jnp.asarray(ref_mask, jnp.int32)
         small = jax.image.resize(
@@ -594,10 +675,18 @@ class Tracker:
         onehot = jax.nn.one_hot(small, num_objects + 1, dtype=jnp.float32)
 
         L_pad = _bucket(T, cfg.frame_bucket)
-        feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
-        masks = self._propagate_m(
-            feats_g, onehot, decode_hw, mask_shape="square"
-        )
+        if cfg.save_mem:
+            video_p = np.concatenate(
+                [video, np.repeat(video[-1:], L_pad - T, axis=0)], axis=0
+            )
+            masks = self._propagate_m_stream(
+                jnp.asarray(video_p), onehot, decode_hw, mask_shape="square"
+            )
+        else:
+            feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
+            masks = self._propagate_m(
+                feats_g, onehot, decode_hw, mask_shape="square"
+            )
         masks = np.array(masks)[:T]
         # frame 0 is ground truth at decode resolution
         masks[0] = np.asarray(

@@ -132,3 +132,39 @@ def test_propagation_pallas_matches_tiled():
     np.testing.assert_allclose(
         outs["pallas"], outs["tiled"], rtol=1e-3, atol=5e-3
     )
+
+
+def test_save_mem_vos_matches_bank_mode():
+    """Streaming (save_mem) mask propagation must match the precomputed-bank
+    path — same scan semantics, window-bounded memory."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.resnet import init_resnet_params, resnet18_d1
+    from fgvc_tpu.models.tracker import Tracker
+
+    rng = np.random.default_rng(5)
+    T, H, W = 6, 32, 32
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+    ref_mask = np.zeros((H, W), np.uint8)
+    ref_mask[8:20, 10:24] = 1
+    ref_mask[22:30, 2:10] = 2
+
+    model = resnet18_d1()
+    variables = init_resnet_params(model, jax.random.PRNGKey(0), (H, W))
+    base = dict(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        input_size=(H, W), frame_bucket=4, point_bucket=4, tile=8,
+        attention_impl="tiled",
+    )
+    outs = {}
+    for sm in (False, True):
+        cfg = TestConfig(**base, save_mem=sm)
+        tr = Tracker(
+            lambda v, x: model.apply(v, x, train=False), variables, cfg
+        )
+        outs[sm] = tr.track_masks(video, ref_mask, (H, W), num_objects=2)
+    np.testing.assert_array_equal(outs[True], outs[False])

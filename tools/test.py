@@ -39,8 +39,18 @@ def main():
     parser.add_argument(
         "--precision",
         default="highest",
-        choices=["highest", "default"],
+        choices=["highest", "high", "default"],
         help="affinity matmul precision (default = bf16 multiplies)",
+    )
+    parser.add_argument(
+        "--save-mem",
+        action="store_true",
+        help="stream features inside the scan (full-res VOS, long videos)",
+    )
+    parser.add_argument(
+        "--attention-impl",
+        default=None,
+        choices=["pallas", "tiled", "dense"],
     )
     args = parser.parse_args()
 
@@ -53,9 +63,10 @@ def main():
 
     from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
 
-    cfg = dataclasses.replace(
-        TASK_CONFIGS[args.task], matmul_precision=args.precision
-    )
+    overrides = dict(matmul_precision=args.precision, save_mem=args.save_mem)
+    if args.attention_impl:
+        overrides["attention_impl"] = args.attention_impl
+    cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
     results = run_task(
         args.task,
         args.data_root,
