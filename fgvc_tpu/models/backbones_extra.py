@@ -1,0 +1,208 @@
+"""Ablation-zoo backbones — flax re-designs of the reference encoders:
+
+  * ResNet18MAST — /root/reference/mmpt/models/backbones/resnet_mast.py:42-74
+    (MAST's stride-2, all-stride-1-stages 256-ch encoder)
+  * SwinTransformer — swin_transformer.py (shifted-window attention,
+    relative position bias, patch merging)
+
+SEResNet and ResNetTSM are parameterizations of models/resnet.py
+(`se_ratio`, `tsm_segments`).  Layout: NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MastResidualBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda n: nn.BatchNorm(use_running_average=not train, name=n)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                    padding=1, use_bias=False, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    name="conv2")(y)
+        y = bn("bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, name="short_conv")(x)
+            x = bn("short_bn")(x)
+        return nn.relu(x + y)
+
+
+class ResNet18MAST(nn.Module):
+    """MAST encoder: 7x7/2 stem, 4 stages of 2 blocks, ALL stride 1 —
+    stride-2 features at 256 channels (resnet_mast.py:42-74)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn")(x)
+        x = nn.relu(x)
+        for li, planes in enumerate((64, 128, 256, 256)):
+            for b in range(2):
+                x = MastResidualBlock(
+                    planes, stride=1, name=f"layer{li + 1}_{b}"
+                )(x, train)
+        return x
+
+
+# --------------------------------------------------------------------- #
+# Swin Transformer
+# --------------------------------------------------------------------- #
+def window_partition(x, ws: int):
+    """(B, H, W, C) -> (B*nW, ws*ws, C); H, W divisible by ws."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+
+def window_reverse(w, ws: int, H: int, W: int):
+    B = w.shape[0] // (H // ws * W // ws)
+    x = w.reshape(B, H // ws, W // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        """x: (nW, ws², C); attn_mask: (n_mask, ws², ws²) additive or None."""
+        N, L, C = x.shape
+        ws = self.window
+        hd = C // self.heads
+        qkv = nn.Dense(3 * C, name="qkv")(x).reshape(N, L, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = jnp.einsum("nlhd,nmhd->nhlm", q, k) / jnp.sqrt(jnp.float32(hd))
+
+        # relative position bias (swin): (2ws-1)² learned entries indexed by
+        # pairwise offsets
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.heads),
+        )
+        coords = jnp.stack(
+            jnp.meshgrid(jnp.arange(ws), jnp.arange(ws), indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 2)
+        rel = coords[:, None] - coords[None, :] + (ws - 1)  # (L, L, 2)
+        idx = rel[..., 0] * (2 * ws - 1) + rel[..., 1]
+        bias = table[idx]  # (L, L, heads)
+        a = a + bias.transpose(2, 0, 1)[None]
+
+        if attn_mask is not None:
+            n_mask = attn_mask.shape[0]
+            a = a.reshape(-1, n_mask, self.heads, L, L)
+            a = a + attn_mask[None, :, None]
+            a = a.reshape(N, self.heads, L, L)
+        a = jax.nn.softmax(a, axis=-1)
+        y = jnp.einsum("nhlm,nmhd->nlhd", a, v).reshape(N, L, C)
+        return nn.Dense(C, name="proj")(y)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    shift: int = 0
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C), H/W divisible by window."""
+        B, H, W, C = x.shape
+        ws = self.window
+        y = nn.LayerNorm(name="norm1")(x)
+        if self.shift > 0:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+            # additive mask preventing attention across the wrapped border
+            img_mask = jnp.zeros((H, W), jnp.int32)
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -self.shift),
+                       slice(-self.shift, None)):
+                for ws_ in (slice(0, -ws), slice(-ws, -self.shift),
+                            slice(-self.shift, None)):
+                    img_mask = img_mask.at[hs, ws_].set(cnt)
+                    cnt += 1
+            mw = window_partition(img_mask[None, :, :, None], ws)[..., 0]
+            attn_mask = jnp.where(
+                mw[:, :, None] == mw[:, None, :], 0.0, -1e9
+            )
+        else:
+            attn_mask = None
+        w = window_partition(y, ws)
+        w = WindowAttention(self.dim, self.heads, ws, name="attn")(
+            w, attn_mask
+        )
+        y = window_reverse(w, ws, H, W)
+        if self.shift > 0:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        x = x + y
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="fc2")(y)
+        return x + y
+
+
+class SwinTransformer(nn.Module):
+    """Hierarchical shifted-window transformer backbone
+    (swin_transformer.py; Swin-T defaults). Returns features of the stage
+    selected by out_index (stride 4·2^stage)."""
+
+    patch: int = 4
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window: int = 7
+    out_indices: Tuple[int, ...] = (-1,)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, _ = x.shape
+        x = nn.Conv(
+            self.embed_dim, (self.patch, self.patch),
+            strides=(self.patch, self.patch), name="patch_embed",
+        )(x)
+        x = nn.LayerNorm(name="patch_norm")(x)
+
+        outs = []
+        dim = self.embed_dim
+        for si, depth in enumerate(self.depths):
+            for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else self.window // 2
+                x = SwinBlock(
+                    dim, self.heads[si], self.window, shift,
+                    name=f"stage{si}_block{bi}",
+                )(x)
+            outs.append(x)
+            if si < len(self.depths) - 1:
+                # patch merging: 2x2 concat + linear to 2*dim
+                Bh, Hh, Wh, Ch = x.shape
+                x = x.reshape(Bh, Hh // 2, 2, Wh // 2, 2, Ch)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    Bh, Hh // 2, Wh // 2, 4 * Ch
+                )
+                x = nn.LayerNorm(name=f"merge{si}_norm")(x)
+                x = nn.Dense(2 * dim, use_bias=False, name=f"merge{si}")(x)
+                dim *= 2
+
+        sel = [outs[i] for i in self.out_indices]
+        return sel[0] if len(sel) == 1 else tuple(sel)
+
+
+def swin_tiny(**kw) -> SwinTransformer:
+    return SwinTransformer(**kw)

@@ -57,21 +57,62 @@ def _bn(name, axis_name=None):
     )
 
 
+def temporal_shift(x: jax.Array, num_segments: int, shift_div: int = 8):
+    """TSM temporal channel shift (resnet_tsm.py:68-115): within each clip of
+    `num_segments` frames, the first C/div channels shift one frame forward,
+    the next C/div shift one frame back, the rest stay."""
+    n, h, w, c = x.shape
+    x = x.reshape(-1, num_segments, h, w, c)
+    fold = c // shift_div
+    left = jnp.concatenate(
+        [x[:, 1:, ..., :fold], jnp.zeros_like(x[:, :1, ..., :fold])], axis=1
+    )
+    mid = jnp.concatenate(
+        [jnp.zeros_like(x[:, :1, ..., fold : 2 * fold]),
+         x[:, :-1, ..., fold : 2 * fold]],
+        axis=1,
+    )
+    out = jnp.concatenate([left, mid, x[..., 2 * fold :]], axis=-1)
+    return out.reshape(n, h, w, c)
+
+
+def _se_layer(x, ratio: int, name: str):
+    """Squeeze-excitation (seresnet.py SELayer): global-avg → 2-layer MLP →
+    sigmoid channel gates."""
+    c = x.shape[-1]
+    s = jnp.mean(x, axis=(1, 2))  # (N, C)
+    s = nn.relu(nn.Dense(max(c // ratio, 1), name=f"{name}_fc1")(s))
+    s = nn.sigmoid(nn.Dense(c, name=f"{name}_fc2")(s))
+    return x * s[:, None, None, :]
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
     axis_name: Optional[str] = None
+    se_ratio: Optional[int] = None       # SEResNet (seresnet.py:8-56)
+    tsm_segments: Optional[int] = None   # ResNetTSM (resnet_tsm.py:40-119)
+    tsm_shift_div: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv1")(x)
+        # TSM shifts only the residual-branch input; shortcut/downsample see
+        # the original activations (TemporalShift wraps conv1 only)
+        h = (
+            temporal_shift(x, self.tsm_segments, self.tsm_shift_div)
+            if self.tsm_segments is not None
+            else x
+        )
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv1")(h)
         out = _bn("bn1", self.axis_name)(out, use_running_average=not train)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
         out = _bn("bn2", self.axis_name)(out, use_running_average=not train)
+        if self.se_ratio is not None:
+            out = _se_layer(out, self.se_ratio, "se")
         if self.has_downsample:
             identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
             identity = _bn("downsample_bn", self.axis_name)(
@@ -87,11 +128,19 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     axis_name: Optional[str] = None
     expansion: int = 4
+    se_ratio: Optional[int] = None
+    tsm_segments: Optional[int] = None
+    tsm_shift_div: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = _conv(self.planes, 1, 1, name="conv1")(x)
+        h = (
+            temporal_shift(x, self.tsm_segments, self.tsm_shift_div)
+            if self.tsm_segments is not None
+            else x
+        )
+        out = _conv(self.planes, 1, 1, name="conv1")(h)
         out = _bn("bn1", self.axis_name)(out, use_running_average=not train)
         out = nn.relu(out)
         # 'pytorch' style: stride on the 3x3 conv.
@@ -100,6 +149,8 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         out = _conv(self.planes * self.expansion, 1, 1, name="conv3")(out)
         out = _bn("bn3", self.axis_name)(out, use_running_average=not train)
+        if self.se_ratio is not None:
+            out = _se_layer(out, self.se_ratio, "se")
         if self.has_downsample:
             identity = _conv(
                 self.planes * self.expansion, 1, self.stride, name="downsample_conv"
@@ -126,6 +177,9 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (3,)
     pool_type: str = "max"
     axis_name: Optional[str] = None
+    se_ratio: Optional[int] = None       # SEResNet variant
+    tsm_segments: Optional[int] = None   # ResNetTSM variant
+    tsm_shift_div: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -160,6 +214,9 @@ class ResNet(nn.Module):
                     dilation=self.dilations[i],
                     has_downsample=has_ds,
                     axis_name=self.axis_name,
+                    se_ratio=self.se_ratio,
+                    tsm_segments=self.tsm_segments,
+                    tsm_shift_div=self.tsm_shift_div,
                     name=f"layer{i + 1}_{j}",
                 )(x, train=train)
                 inplanes = planes * expansion
