@@ -112,15 +112,32 @@ def _merge_shards(pairs):
 def eval_tapvid(
     tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
 ) -> Dict[str, float]:
-    """TAP-Vid DAVIS / Kinetics point tracking."""
+    """TAP-Vid DAVIS / Kinetics point tracking.
+
+    Videos are pipelined one deep: while video i propagates, video i+1's
+    host→device upload and feature extraction are already dispatched
+    (the TPU equivalent of the reference's CPU-bank prefetch)."""
     results = []
     ids = _my_videos(len(dataset), rank, world)
     if max_videos:
         ids = ids[:max_videos]
-    for i in ids:
+
+    def load(i):
         sample = dataset[i]
+        has_feats = hasattr(tracker, "_features_padded")
+        feats = tracker._features_padded(sample["video"]) if has_feats else None
+        return sample, feats
+
+    nxt = load(ids[0]) if ids else None
+    for n, i in enumerate(ids):
+        sample, feats = nxt
+        nxt = load(ids[n + 1]) if n + 1 < len(ids) else None
         t0 = time.time()
-        out = tracker.track_points(sample["video"], sample["query_points"])
+        out = tracker.track_points(
+            sample["video"], sample["query_points"], feats=feats
+        ) if feats is not None else tracker.track_points(
+            sample["video"], sample["query_points"]
+        )
         print(
             f"[{i}] T={len(sample['video'])} P={sample['query_points'].shape[0]}"
             f" {time.time() - t0:.2f}s",

@@ -26,7 +26,7 @@ Three public entry points:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -463,6 +463,7 @@ class Tracker:
         self,
         video: np.ndarray,          # (T, H, W, 3) preprocessed (Lab-normalized)
         query_points: np.ndarray,   # (P, 3) (t, x, y) in input pixels
+        feats: Optional[jax.Array] = None,  # pre-dispatched _features_padded
     ) -> Dict[str, np.ndarray]:
         """Forward-test over a full video with query-frame grouping.
 
@@ -470,12 +471,16 @@ class Tracker:
         grouped by query frame; each group is propagated from its query frame
         to the end of the video.  Returns trajectories (T, P, 2) and
         visibilities (T, P) (all zeros, like the reference).
+
+        `feats` lets the eval harness prefetch the next video's upload +
+        feature extraction while the previous video propagates.
         """
         cfg = self.cfg
         T, H, W, _ = video.shape
         P = query_points.shape[0]
 
-        feats = self._features_padded(video)
+        if feats is None:
+            feats = self._features_padded(video)
         traj_pred = np.zeros((T, P, 2), dtype=np.float32)
 
         ts = np.unique(query_points[:, 0].astype(np.int64))
