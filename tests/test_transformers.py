@@ -137,3 +137,48 @@ def test_spa_temp_former_as_traj_pred_head():
     preds, _, _ = dec.apply(vars_, feats, coords, qf, vis, tm)
     assert preds[-1].shape == (B, T, P, 2)
     assert np.all(np.isfinite(np.asarray(preds[-1])))
+
+
+def test_gmflow_feature_transformer():
+    import jax
+
+    from fgvc_tpu.models.components.transformers import GMFeatureTransformer
+
+    rng = np.random.default_rng(6)
+    B, H, W, C = 1, 8, 8, 32
+    f0 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    f1 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    m = GMFeatureTransformer(num_layers=2, d_model=C)
+    v = m.init(jax.random.PRNGKey(0), f0, f1, num_splits=2)
+    o0, o1 = m.apply(v, f0, f1, num_splits=2)
+    assert o0.shape == o1.shape == (B, H, W, C)
+    assert np.all(np.isfinite(np.asarray(o0)))
+    # cross-attention couples the two frames
+    o0b, _ = m.apply(v, f0, f1 + 1.0, num_splits=2)
+    assert not np.allclose(np.asarray(o0), np.asarray(o0b))
+
+    # full attention variant
+    m2 = GMFeatureTransformer(num_layers=1, d_model=C, attention_type="full")
+    v2 = m2.init(jax.random.PRNGKey(0), f0, f1, num_splits=1)
+    o2, _ = m2.apply(v2, f0, f1, num_splits=1)
+    assert np.all(np.isfinite(np.asarray(o2)))
+
+
+def test_swin3d_value_propagation():
+    import jax
+
+    from fgvc_tpu.models.components.transformers import Swin3D
+
+    rng = np.random.default_rng(7)
+    B, T, H, W = 1, 4, 8, 8
+    x = rng.standard_normal((B, T, H, W, 16)).astype(np.float32)
+    v = rng.standard_normal((B, T, H, W, 32)).astype(np.float32)
+    m = Swin3D(embed_dim=16, value_dim=32, depth=2, heads=2,
+               t_window=2, s_window=4)
+    vars_ = m.init(jax.random.PRNGKey(0), x, v)
+    out = m.apply(vars_, x, v)
+    assert out.shape == (B, T, H, W, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # features drive the attention: changing x changes the output
+    out2 = m.apply(vars_, x + 1.0, v)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
