@@ -206,3 +206,103 @@ class SwinTransformer(nn.Module):
 
 def swin_tiny(**kw) -> SwinTransformer:
     return SwinTransformer(**kw)
+
+
+# --------------------------------------------------------------------- #
+# P3DA ResNet (p3d_resnet.py:32-386): pseudo-3D blocks — a 1x3x3 spatial
+# conv followed by a 3x1x1 temporal conv — over (B, T, H, W, C) clips.
+# --------------------------------------------------------------------- #
+class P3DBasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, T, H, W, C)."""
+        bn = lambda n: nn.BatchNorm(use_running_average=not train, name=n)
+
+        def s_conv(feat, stride, name):
+            return nn.Conv(
+                feat, (1, 3, 3), strides=(1, stride, stride),
+                padding=((0, 0), (1, 1), (1, 1)), use_bias=False, name=name,
+            )
+
+        def t_conv(feat, name):
+            return nn.Conv(
+                feat, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                use_bias=False, name=name,
+            )
+
+        identity = x
+        y = s_conv(self.planes, self.stride, "conv1")(x)
+        y = t_conv(self.planes, "conv1_t")(y)
+        y = nn.relu(bn("bn1")(y))
+        y = s_conv(self.planes, 1, "conv2")(y)
+        y = t_conv(self.planes, "conv2_t")(y)
+        y = bn("bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = nn.Conv(
+                self.planes, (1, 1, 1), strides=(1, self.stride, self.stride),
+                use_bias=False, name="down_conv",
+            )(x)
+            identity = bn("down_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class P3DAResNet(nn.Module):
+    """P3DA_ResNet-18 (p3d_resnet.py:123-386): (2+1)-D residual encoder
+    over clips; returns per-frame stride-4 features by default."""
+
+    layers: Tuple[int, ...] = (2, 2, 2, 2)
+    strides: Tuple[int, ...] = (1, 2, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, T, H, W, 3)."""
+        x = nn.Conv(
+            64, (1, 7, 7), strides=(1, 2, 2),
+            padding=((0, 0), (3, 3), (3, 3)), use_bias=False, name="stem",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn")(x)
+        x = nn.relu(x)
+        planes = (64, 128, 256, 256)
+        for li, (n, p, s) in enumerate(zip(self.layers, planes, self.strides)):
+            for b in range(n):
+                x = P3DBasicBlock(
+                    p, stride=s if b == 0 else 1, name=f"layer{li + 1}_{b}"
+                )(x, train)
+        return x
+
+
+class ResNet18Pos(nn.Module):
+    """ResNet18_Pos (resnet_pos.py:51-118): stem + learnable absolute
+    position embedding (bicubic-resized to the activation grid), stages
+    (64, 128, 256, 256) at strides (1, 2, 1, 1)."""
+
+    pos_grid: int = 128
+    use_ape: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, ape: Optional[bool] = None):
+        ape = self.use_ape if ape is None else ape
+        bn = lambda n: nn.BatchNorm(use_running_average=not train, name=n)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(bn("bn1")(x))
+        pos = self.param(
+            "pos_embed1", nn.initializers.zeros,
+            (1, self.pos_grid, self.pos_grid, 64),
+        )
+        if ape:
+            B, H, W, _ = x.shape
+            pe = jax.image.resize(pos, (1, H, W, 64), method="bicubic")
+            x = x + pe
+        for li, (planes, stride, blocks) in enumerate(
+            zip((64, 128, 256, 256), (1, 2, 1, 1), (2, 2, 2, 2))
+        ):
+            for b in range(blocks):
+                x = MastResidualBlock(
+                    planes, stride=stride if b == 0 else 1,
+                    name=f"layer{li + 1}_{b}",
+                )(x, train)
+        return x

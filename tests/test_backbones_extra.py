@@ -97,3 +97,39 @@ def test_swin_shift_mask_blocks_cross_border_attention():
     np.testing.assert_allclose(
         out, np.broadcast_to(out[:, :1, :1], out.shape), rtol=1e-4, atol=1e-5
     )
+
+
+def test_p3da_resnet_clip_features():
+    import jax
+
+    from fgvc_tpu.models.backbones_extra import P3DAResNet
+
+    m = P3DAResNet()
+    x = np.random.default_rng(3).standard_normal((1, 4, 32, 32, 3)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 4, 8, 8, 256)  # stride 4 (stem 2 * layer2 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_resnet18_pos_ape_toggle():
+    import jax
+
+    from fgvc_tpu.models.backbones_extra import ResNet18Pos
+
+    m = ResNet18Pos(pos_grid=16)
+    x = np.random.default_rng(4).standard_normal((1, 32, 32, 3)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    # zero-init pos embed: identical with/without APE at init
+    a = m.apply(v, x, train=False, ape=True)
+    b = m.apply(v, x, train=False, ape=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (1, 8, 8, 256)
+    # non-zero embed changes the features when APE is on
+    import jax.numpy as jnp
+
+    v2 = jax.tree_util.tree_map(lambda y: y, v)
+    v2["params"] = dict(v2["params"])
+    v2["params"]["pos_embed1"] = jnp.ones_like(v["params"]["pos_embed1"])
+    a2 = m.apply(v2, x, train=False, ape=True)
+    assert not np.allclose(np.asarray(a2), np.asarray(b))
