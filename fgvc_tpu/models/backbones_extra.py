@@ -306,3 +306,119 @@ class ResNet18Pos(nn.Module):
                     name=f"layer{li + 1}_{b}",
                 )(x, train)
         return x
+
+
+# --------------------------------------------------------------------- #
+# MViT (mviit.py:60-474): multiscale ViT with depthwise-pooled q/k/v
+# attention; stages downsample q (stride_q=2) while doubling channels.
+# --------------------------------------------------------------------- #
+class MultiScaleAttention(nn.Module):
+    dim_out: int
+    heads: int
+    stride_q: int = 1
+    stride_kv: int = 1
+    pool_kernel: int = 3
+    residual_pooling: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C) -> (B, H/stride_q, W/stride_q, dim_out)."""
+        B, H, W, _ = x.shape
+        hd = self.dim_out // self.heads
+        qkv = nn.Dense(3 * self.dim_out, name="qkv")(x)
+        qkv = qkv.reshape(B, H, W, 3, self.heads, hd)
+
+        def pool(z, stride, name):
+            # per-head depthwise conv pool + LayerNorm (attention_pool)
+            z = z.transpose(0, 3, 1, 2, 4).reshape(B * self.heads, H, W, hd)
+            z = nn.Conv(
+                hd, (self.pool_kernel, self.pool_kernel),
+                strides=(stride, stride), padding=self.pool_kernel // 2,
+                feature_group_count=hd, use_bias=False, name=f"pool_{name}",
+            )(z)
+            z = nn.LayerNorm(name=f"norm_{name}")(z)
+            return z  # (B*heads, H', W', hd)
+
+        q = pool(qkv[..., 0, :, :], self.stride_q, "q")
+        k = pool(qkv[..., 1, :, :], self.stride_kv, "k")
+        v = pool(qkv[..., 2, :, :], self.stride_kv, "v")
+
+        Hq, Wq = q.shape[1:3]
+        Hk, Wk = k.shape[1:3]
+        qf = q.reshape(B * self.heads, Hq * Wq, hd)
+        kf = k.reshape(B * self.heads, Hk * Wk, hd)
+        vf = v.reshape(B * self.heads, Hk * Wk, hd)
+        a = jnp.einsum("nld,nmd->nlm", qf, kf) / jnp.sqrt(jnp.float32(hd))
+        a = jax.nn.softmax(a, axis=-1)
+        y = jnp.einsum("nlm,nmd->nld", a, vf)
+        if self.residual_pooling:
+            y = y + qf
+        y = y.reshape(B, self.heads, Hq, Wq, hd)
+        y = y.transpose(0, 2, 3, 1, 4).reshape(B, Hq, Wq, self.dim_out)
+        return nn.Dense(self.dim_out, name="proj")(y)
+
+
+class MultiScaleBlock(nn.Module):
+    dim_out: int
+    heads: int
+    stride_q: int = 1
+    stride_kv: int = 1
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        xn = nn.LayerNorm(name="norm1")(x)
+        y = MultiScaleAttention(
+            self.dim_out, self.heads, self.stride_q, self.stride_kv,
+            name="attn",
+        )(xn)
+        skip = x
+        if x.shape[-1] != self.dim_out:
+            skip = nn.Dense(self.dim_out, name="proj")(xn)
+        if self.stride_q > 1:
+            k = self.stride_q + 1
+            skip = nn.max_pool(
+                skip, (k, k), strides=(self.stride_q,) * 2,
+                padding=((k // 2, k // 2), (k // 2, k // 2)),
+            )
+        x = skip + y
+        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.Dense(int(self.dim_out * self.mlp_ratio), name="fc1")(z)
+        z = nn.gelu(z)
+        z = nn.Dense(self.dim_out, name="fc2")(z)
+        return x + z
+
+
+class MViT(nn.Module):
+    """Multiscale ViT backbone (mviit.py:296-474): patchify stride 4, then
+    stages that double channels and halve resolution via pooled attention."""
+
+    patch: int = 4
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 2)
+    heads: Tuple[int, ...] = (1, 2, 4)
+    out_indices: Tuple[int, ...] = (-1,)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.embed_dim, (7, 7), strides=(self.patch, self.patch),
+            padding=3, name="patch_embed",
+        )(x)
+        outs = []
+        dim = self.embed_dim
+        for si, depth in enumerate(self.depths):
+            for bi in range(depth):
+                first = bi == 0 and si > 0
+                x = MultiScaleBlock(
+                    dim_out=dim * 2 if first else dim,
+                    heads=self.heads[si],
+                    stride_q=2 if first else 1,
+                    stride_kv=2 if first else 1,
+                    name=f"stage{si}_block{bi}",
+                )(x)
+                if first:
+                    dim *= 2
+            outs.append(x)
+        sel = [outs[i] for i in self.out_indices]
+        return sel[0] if len(sel) == 1 else tuple(sel)

@@ -133,3 +133,19 @@ def test_resnet18_pos_ape_toggle():
     v2["params"]["pos_embed1"] = jnp.ones_like(v["params"]["pos_embed1"])
     a2 = m.apply(v2, x, train=False, ape=True)
     assert not np.allclose(np.asarray(a2), np.asarray(b))
+
+
+def test_mvit_multiscale_shapes():
+    import jax
+
+    from fgvc_tpu.models.backbones_extra import MViT
+
+    m = MViT(patch=4, embed_dim=16, depths=(1, 1, 1), heads=(1, 2, 4),
+             out_indices=(0, 1, 2))
+    x = np.random.default_rng(5).standard_normal((1, 32, 32, 3)).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    o0, o1, o2 = m.apply(v, x, train=False)
+    assert o0.shape == (1, 8, 8, 16)    # stride 4
+    assert o1.shape == (1, 4, 4, 32)    # stride 8, dims doubled
+    assert o2.shape == (1, 2, 2, 64)    # stride 16
+    assert np.all(np.isfinite(np.asarray(o2)))
