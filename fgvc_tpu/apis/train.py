@@ -15,6 +15,7 @@ Replaces the reference's runner/hook orchestration
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -183,6 +184,21 @@ def train_model(
         tb = SummaryWriter(os.path.join(work_dir, "tb"))
     except Exception:
         pass
+    # WandbLoggerHook_Custom equivalent (core/hooks/wandb.py:10-108):
+    # activates when wandb is installed AND WANDB_PROJECT is set.
+    wandb_run = None
+    if os.environ.get("WANDB_PROJECT"):
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=os.environ["WANDB_PROJECT"],
+                dir=work_dir,
+                config=dataclasses.asdict(cfg),
+                resume="allow",
+            )
+        except Exception:
+            wandb_run = None
 
     best_metric = None
     with mesh:
@@ -217,6 +233,8 @@ def train_model(
                 if tb:
                     for k, v in vals.items():
                         tb.add_scalar(k, v, step)
+                if wandb_run is not None:
+                    wandb_run.log(vals, step=step)
                 print(
                     f"step {step}/{total} "
                     + " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
