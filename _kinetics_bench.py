@@ -11,7 +11,11 @@ from fgvc_tpu.models.tracker import Tracker, _bucket
 cfg = dataclasses.replace(KINETICS_TEST_CFG, frame_bucket=32)
 T, P = 250, 32
 rng = np.random.default_rng(0)
-feats = jnp.asarray(rng.standard_normal((_bucket(T, 32) + 32, 128, 128, 256)), jnp.float32)
+# build the bank ON DEVICE (a 4.8 GB f32 upload through the tunnel would
+# dominate; random device-side features time the same kernel work)
+feats = jax.random.normal(
+    jax.random.PRNGKey(0), (_bucket(T, 32) + 32, 128, 128, 256), jnp.float32
+)
 tracker = Tracker(lambda v, x: x, {}, cfg)
 pts = jnp.asarray(rng.uniform(16, 240, (P, 2)), jnp.float32)
 valid = jnp.ones((P,), bool)
