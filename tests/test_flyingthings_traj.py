@@ -33,3 +33,37 @@ def test_package_protocol():
     assert out["visibles"][:, 0].all()
     # crop offset applied: center crop starts at (5, 8)
     np.testing.assert_allclose(out["trajs"][0, 0], [18 - 8, 14 - 5])
+
+
+def test_augmentations_mark_covered_tracks_invisible():
+    """Eraser + occluder augs: frames change, some visible tracks become
+    invisible, geometry (trajs) unchanged."""
+    from fgvc_tpu.datasets.flyingthings_traj import FlyingThingsTrajDataset
+
+    ds = FlyingThingsTrajDataset.__new__(FlyingThingsTrajDataset)
+    ds.N, ds.S = 64, 4
+    ds.crop_size = (64, 64)
+    ds.force_twice_vis = False
+    ds.train = True
+    ds.use_augs = True
+    ds.eraser_prob = 1.0
+    ds.occluder_prob = 1.0
+    ds.max_occluders = 3
+    ds.color_prob = 1.0
+    ds.blur_prob = 1.0
+    ds.rng = np.random.default_rng(0)
+
+    rng = np.random.default_rng(1)
+    rgbs = rng.integers(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+    trajs = rng.uniform(4, 60, (4, 64, 2)).astype(np.float32)
+
+    out = ds.package(rgbs.copy(), trajs.copy())
+    assert out["rgbs"].shape == (4, 64, 64, 3)
+    assert out["rgbs"].dtype == np.uint8
+    # frames were modified by the augs
+    assert not np.array_equal(out["rgbs"], rgbs)
+    # some tracks got occluded (visibility dropped somewhere after frame 0)
+    vis = out["visibles"]
+    valid = out["valids"][0] > 0
+    assert vis[1:, valid].min() == 0.0
+    assert np.isfinite(out["trajs"]).all()
