@@ -206,3 +206,25 @@ def bilinear_resize_align_corners(x: jax.Array, size) -> jax.Array:
     Mx = interp_matrix(W, W_out)   # (W_out, W)
     y = jnp.einsum("oh,...hwc->...owc", My, x)
     return jnp.einsum("pw,...hwc->...hpc", Mx, y)
+
+
+def deform_im2col(img: jax.Array, offset: jax.Array, kernel_size: int = 3):
+    """Deformable im2col (utils.py deform_im2col): sample a k×k patch at
+    (pixel + offset) for every pixel via bilinear interpolation.
+
+    img: (H, W, C); offset: (H, W, 2) (x, y) displacements.
+    Returns (H, W, k*k, C) patches (channels-last layout of the reference's
+    (b, k²·c, h·w) output).
+    """
+    from fgvc_tpu.ops.warp import bilinear_sample
+
+    H, W, C = img.shape
+    k = kernel_size
+    gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    base = jnp.stack([gx, gy], axis=-1) + offset  # (H, W, 2)
+    d = jnp.arange(k, dtype=jnp.float32) - k // 2
+    dx, dy = jnp.meshgrid(d, d, indexing="xy")
+    offs = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # (k², 2) — dx fast
+    pts = base[:, :, None, :] + offs  # (H, W, k², 2)
+    return bilinear_sample(img, pts)

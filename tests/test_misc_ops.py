@@ -74,3 +74,35 @@ def test_vit_backbone_shapes():
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
     assert out.shape == (2, 4, 4, 64)
+
+
+def test_deform_im2col_zero_offset_is_unfold():
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.misc import deform_im2col
+
+    rng = np.random.default_rng(0)
+    H, W, C = 6, 7, 2
+    img = rng.standard_normal((H, W, C)).astype(np.float32)
+    out = np.asarray(
+        deform_im2col(jnp.asarray(img), jnp.zeros((H, W, 2)), kernel_size=3)
+    )
+    assert out.shape == (H, W, 9, C)
+    # center tap equals the pixel itself
+    np.testing.assert_allclose(out[:, :, 4], img, rtol=1e-6)
+    # top-left tap equals the up-left neighbor (zeros at the border)
+    np.testing.assert_allclose(out[1:, 1:, 0], img[:-1, :-1], rtol=1e-6)
+    np.testing.assert_allclose(out[0, :, 0], 0.0)
+
+
+def test_deform_im2col_fractional_offset():
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.misc import deform_im2col
+
+    img = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    off = np.full((4, 4, 2), 0.5, np.float32)
+    out = np.asarray(deform_im2col(jnp.asarray(img), jnp.asarray(off), 1))
+    # sampling at (x+0.5, y+0.5): average of the 2x2 neighborhood
+    expect = (img[1, 1] + img[1, 2] + img[2, 1] + img[2, 2]) / 4
+    np.testing.assert_allclose(out[1, 1, 0, 0], expect, rtol=1e-6)
