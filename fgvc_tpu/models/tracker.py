@@ -709,9 +709,26 @@ class Tracker:
         bank by one extra frame bucket so per-group dynamic slices never
         clamp.  Padding the FEATURES (a cheap copy) instead of the video
         avoids running the backbone over up to 2×frame_bucket wasted frames;
-        padded-slot outputs are either key_valid-masked or discarded."""
+        padded-slot outputs are either key_valid-masked or discarded.
+
+        The video is uploaded in 16-frame chunks so the host→device transfer
+        of chunk i+1 overlaps the backbone on chunk i (the tunnel link is
+        the eval bottleneck)."""
         cfg = self.cfg
         T = video.shape[0]
         t_pad = _bucket(T, cfg.frame_bucket) + cfg.frame_bucket
-        feats = self.extract_features(jnp.asarray(video))
+
+        CH = 16
+        if isinstance(video, np.ndarray) and T > CH:
+            n = -(-T // CH)
+            video_p = np.concatenate(
+                [video, np.zeros((n * CH - T, *video.shape[1:]), video.dtype)]
+            )
+            parts = [
+                self._extract(jnp.asarray(video_p[i * CH : (i + 1) * CH]))
+                for i in range(n)
+            ]
+            feats = jnp.concatenate(parts, axis=0)[:T]
+        else:
+            feats = self.extract_features(jnp.asarray(video))
         return jnp.pad(feats, ((0, t_pad - T), (0, 0), (0, 0), (0, 0)))
