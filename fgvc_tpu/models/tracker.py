@@ -126,9 +126,9 @@ class Tracker:
                 tile=min(cfg.tile, 16),
                 mask_shape=mask_shape,
                 key_valid=key_valid,
-                compute_dtype=(
-                    "bfloat16" if cfg.matmul_precision == "default" else "float32"
-                ),
+                compute_dtype={
+                    "default": "bfloat16", "high": "high"
+                }.get(cfg.matmul_precision, "float32"),
                 interpret=jax.default_backend() == "cpu",
             )
         if cfg.attention_impl == "tiled" and non_mask_len == 0:
@@ -191,9 +191,9 @@ class Tracker:
             )
 
             p_tile = min(cfg.tile, 16)
-            compute_dtype = (
-                "bfloat16" if cfg.matmul_precision == "default" else "float32"
-            )
+            compute_dtype = {
+                "default": "bfloat16", "high": "high"
+            }.get(cfg.matmul_precision, "float32")
             bank_pad = pad_key_bank_pallas(
                 feats,
                 float(radius),
@@ -282,6 +282,7 @@ class Tracker:
                 topk=cfg.topk,
                 tile=p_tile,
                 mask_shape=mask_shape,
+                compute_dtype=compute_dtype,
                 interpret=jax.default_backend() == "cpu",
             )
             new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)

@@ -47,6 +47,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_PALLAS_PRECISIONS = {
+    # compute_dtype -> (operand dtype, matmul passes)
+    "float32": (jnp.float32, jax.lax.Precision.HIGHEST),   # 6-pass f32
+    "high": (jnp.float32, jax.lax.Precision.HIGH),         # 3-pass bf16x3
+    "bfloat16": (jnp.bfloat16, jax.lax.Precision.DEFAULT), # native bf16
+}
+
+
 def _make_kernel(
     *,
     T: int,
@@ -61,6 +69,7 @@ def _make_kernel(
     radius: float,
     square: bool,
     dtype,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     win = tile + 2 * halo
     wpad = _round_up(win, 8)   # HBM slice widths must align to sublane tiling
@@ -130,11 +139,7 @@ def _make_kernel(
                     k_buf[slot].reshape(FK, C),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=(
-                        jax.lax.Precision.DEFAULT
-                        if dtype == jnp.bfloat16
-                        else jax.lax.Precision.HIGHEST
-                    ),
+                    precision=precision,
                 )
                 * inv_temp
             )
@@ -297,7 +302,7 @@ def fused_topk_attention(
     nth, ntw = Hp // tile, Wp // tile
     Pp = _round_up(Cv, 128)
 
-    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    dtype, precision = _PALLAS_PRECISIONS[compute_dtype]
     if normalize:
         query = l2_normalize(query)
         key = l2_normalize(key)
@@ -331,7 +336,8 @@ def fused_topk_attention(
         frame_idx=frame_idx, key_valid=key_valid,
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
-        tile=tile, mask_shape=mask_shape, dtype=dtype, interpret=interpret,
+        tile=tile, mask_shape=mask_shape, dtype=dtype, precision=precision,
+        interpret=interpret,
     )
 
 
@@ -353,7 +359,7 @@ def pad_key_bank_pallas(
     wpad = _round_up(win, 8)
     if normalize:
         bank = l2_normalize(bank)
-    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    dtype, _ = _PALLAS_PRECISIONS[compute_dtype]
     bank = bank.astype(dtype)
     return jnp.pad(
         bank,
@@ -370,7 +376,7 @@ def pad_key_bank_pallas(
     jax.jit,
     static_argnames=(
         "H", "W", "radius", "temperature", "topk", "tile", "mask_shape",
-        "interpret",
+        "compute_dtype", "interpret",
     ),
 )
 def fused_topk_attention_banked(
@@ -387,6 +393,7 @@ def fused_topk_attention_banked(
     topk: int = 10,
     tile: int = 16,
     mask_shape: str = "circle",
+    compute_dtype: str = "float32",
     interpret: bool = False,
 ) -> jax.Array:
     """Bank-direct fused attention: keys are DMA'd per tile straight from the
@@ -409,19 +416,21 @@ def fused_topk_attention_banked(
             (0, Pp - Cv),
         ),
     )
+    _, precision = _PALLAS_PRECISIONS[compute_dtype]
     return _call_fused_kernel(
         qpad, kpad, vpad,
         frame_idx=frame_idx, key_valid=key_valid,
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
         tile=tile, mask_shape=mask_shape, dtype=qpad.dtype,
-        interpret=interpret,
+        precision=precision, interpret=interpret,
     )
 
 
 def _call_fused_kernel(
     qpad, kpad, vpad, *, frame_idx, key_valid, H, W, T, Cv,
     radius, temperature, topk, tile, mask_shape, dtype, interpret,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     C = qpad.shape[-1]
     halo = int(radius)
@@ -455,6 +464,7 @@ def _call_fused_kernel(
         radius=float(radius),
         square=(mask_shape == "square"),
         dtype=dtype,
+        precision=precision,
     )
 
     S = tile * tile
