@@ -103,3 +103,7 @@ class TrainConfig:
     # scaling (the Fp16OptimizerHook equivalent; bf16 on TPU rarely needs it)
     grad_clip: Optional[float] = None
     loss_scale: float = 1.0
+    # rematerialize backbone activations in the backward pass — trades
+    # ~30% step time for activation memory, enabling larger global batches
+    # per chip (jax.checkpoint on the student forward)
+    remat: bool = False

@@ -152,13 +152,21 @@ class MixedTrainer:
         k_drop1, k_drop2 = jax.random.split(rng)
         losses: Dict[str, jax.Array] = {}
 
-        def run_backbone(frames, stats):
-            out, upd = self.backbone.apply(
-                {"params": params["backbone"], "batch_stats": stats},
+        def backbone_apply(p, stats, frames):
+            return self.backbone.apply(
+                {"params": p, "batch_stats": stats},
                 frames,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if c.remat:
+            # recompute student activations in the backward pass — frees
+            # activation memory for larger global batches per chip
+            backbone_apply = jax.checkpoint(backbone_apply)
+
+        def run_backbone(frames, stats):
+            out, upd = backbone_apply(params["backbone"], stats, frames)
             return out, upd["batch_stats"]
 
         stats = batch_stats

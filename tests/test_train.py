@@ -227,3 +227,26 @@ def test_best_checkpoint_tracking(tmp_path):
         "metric": "average_pts_within_thresh",
         "value": 30.0,
     }
+
+
+def test_remat_matches_plain_step():
+    """remat=True must be numerically identical (recompute, not approximate)."""
+    import dataclasses
+
+    import jax
+
+    from fgvc_tpu.core.train import MixedTrainer
+
+    cfg, trainer, state0, teacher_vars, tx, batch = _tiny_setup()
+    rng = jax.random.PRNGKey(7)
+    s1, l1 = trainer.make_train_step(tx)(state0, teacher_vars, batch, rng)
+
+    trainer_r = MixedTrainer(dataclasses.replace(cfg, remat=True))
+    state_r, _, _ = trainer_r.init(jax.random.PRNGKey(0), 10)
+    s2, l2 = trainer_r.make_train_step(tx)(state_r, teacher_vars, batch, rng)
+    np.testing.assert_allclose(float(l1["loss"]), float(l2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["backbone"]["conv1"]["kernel"]),
+        np.asarray(s2.params["backbone"]["conv1"]["kernel"]),
+        rtol=1e-4, atol=1e-6,
+    )

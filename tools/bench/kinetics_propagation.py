@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 """Kinetics-scale propagation: 250-frame HBM bank, pallas bank-direct."""
 import time
 import dataclasses

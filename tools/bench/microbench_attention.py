@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 """Per-frame attention-step microbench at DAVIS shapes on the real TPU."""
 import time
 import jax, jax.numpy as jnp, numpy as np

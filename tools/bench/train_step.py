@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 """Training-step throughput at the recipe's shapes, device-resident data."""
 import time
 import jax, jax.numpy as jnp, numpy as np

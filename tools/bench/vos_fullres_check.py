@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 """Full-res VOS save_mem check: 100 frames at (480, 880) without OOM."""
 import dataclasses, time
 import jax, numpy as np
