@@ -1,0 +1,42 @@
+"""tools/demo.py smoke: trajectory video + correspondence overlay."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _write_frames(d, n=4, size=48):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    os.makedirs(d, exist_ok=True)
+    for t in range(n):
+        cv2.imwrite(
+            os.path.join(d, f"{t:03d}.png"),
+            rng.integers(0, 256, (size, size, 3), dtype=np.uint8),
+        )
+
+
+def test_demo_trajectory_and_correspondence(tmp_path):
+    frames = tmp_path / "frames"
+    _write_frames(str(frames))
+
+    out_mp4 = tmp_path / "demo.mp4"
+    r = subprocess.run(
+        [sys.executable, "tools/demo.py", "--frames", str(frames),
+         "--grid", "2", "--size", "32", "--out", str(out_mp4)],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out_mp4.exists() and out_mp4.stat().st_size > 0
+
+    out_png = tmp_path / "corr.png"
+    r2 = subprocess.run(
+        [sys.executable, "tools/demo.py", "--frames", str(frames),
+         "--correspondence", "--size", "32", "--out", str(out_png)],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert out_png.exists() and out_png.stat().st_size > 0
