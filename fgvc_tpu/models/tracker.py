@@ -70,6 +70,9 @@ class Tracker:
         self._track_group = jax.jit(
             self._track_group_impl, static_argnames=("full_hw", "length")
         )
+        self._forward_coords = jax.jit(
+            self._forward_coords_impl, static_argnames=("full_hw",)
+        )
 
     # ------------------------------------------------------------------ #
     # feature extraction
@@ -111,7 +114,10 @@ class Tracker:
         non_mask_len = 0 if cfg.with_first_neighbor else 1
         do_norm = cfg.with_norm and not pre_normalized
         if cfg.attention_impl == "pallas" and non_mask_len == 0:
-            from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+            from fgvc_tpu.ops.pallas.topk_attention import (
+                fused_topk_attention,
+                pallas_compute_dtype,
+            )
 
             return fused_topk_attention(
                 query,
@@ -126,9 +132,7 @@ class Tracker:
                 tile=min(cfg.tile, 16),
                 mask_shape=mask_shape,
                 key_valid=key_valid,
-                compute_dtype={
-                    "default": "bfloat16", "high": "high"
-                }.get(cfg.matmul_precision, "float32"),
+                compute_dtype=pallas_compute_dtype(cfg.matmul_precision),
                 interpret=jax.default_backend() == "cpu",
             )
         if cfg.attention_impl == "tiled" and non_mask_len == 0:
@@ -158,6 +162,7 @@ class Tracker:
             non_mask_len=non_mask_len,
             mask_shape=mask_shape,
             key_valid=key_valid,
+            precision=cfg.matmul_precision,
         )
 
     def _scan_propagate(self, feats, first_value, mask_shape, emit):
@@ -188,12 +193,11 @@ class Tracker:
             from fgvc_tpu.ops.pallas.topk_attention import (
                 fused_topk_attention_banked,
                 pad_key_bank_pallas,
+                pallas_compute_dtype,
             )
 
             p_tile = min(cfg.tile, 16)
-            compute_dtype = {
-                "default": "bfloat16", "high": "high"
-            }.get(cfg.matmul_precision, "float32")
+            compute_dtype = pallas_compute_dtype(cfg.matmul_precision)
             bank_pad = pad_key_bank_pallas(
                 feats,
                 float(radius),
@@ -587,7 +591,7 @@ class Tracker:
         feats = self._features_padded(video)
 
         traj = np.zeros((T, P, 2), dtype=np.float32)
-        fwd = jax.jit(self._forward_coords_impl, static_argnames=("full_hw",))
+        fwd = self._forward_coords
         for t in np.unique(query_points[:, 0].astype(np.int64)):
             sel = np.nonzero(query_points[:, 0].astype(np.int64) == t)[0]
             p_pad = _bucket(len(sel), cfg.point_bucket)

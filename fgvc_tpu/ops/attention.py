@@ -70,6 +70,7 @@ def spatial_neighbor_mask(height: int, width: int, neighbor_range: int) -> jax.A
         "non_mask_len",
         "mode",
         "mask_shape",
+        "precision",
     ),
 )
 def masked_topk_attention(
@@ -86,6 +87,7 @@ def masked_topk_attention(
     mode: str = "softmax",
     mask_shape: str = "circle",
     key_valid: Optional[jax.Array] = None,
+    precision: str = "highest",
 ) -> jax.Array:
     """Spatial-radius-masked top-k attention propagation.
 
@@ -102,6 +104,8 @@ def masked_topk_attention(
       step: query-pixel chunk size (memory/speed dial, like the reference's).
       non_mask_len: number of leading key frames exempt from the spatial mask.
       mode: 'softmax' (weights = softmax) or 'cosine' (clamp(min=0)**2).
+      precision: 'highest' (f32 parity) | 'high' (bf16x3) | 'default' (bf16)
+        for the affinity matmuls.
       mask_shape: 'circle' = euclidean distance < radius (spatial_neighbor);
         'square' = |dy| <= radius and |dx| <= radius (the window the
         reference's mmcv Correlation paths use).
@@ -113,6 +117,11 @@ def masked_topk_attention(
     """
     if mode not in ("softmax", "cosine"):
         raise ValueError(f"unknown mode {mode}")
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
     H, W, C = query.shape
     T = key.shape[0]
     Cv = value.shape[-1]
@@ -159,7 +168,7 @@ def masked_topk_attention(
             q_c,
             k,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ) / temperature
 
         if radius is not None:
@@ -189,7 +198,7 @@ def masked_topk_attention(
                 w,
                 vals,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
         else:
             if mode == "softmax":
@@ -201,7 +210,7 @@ def masked_topk_attention(
                 w,
                 v,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
         return None, out
 

@@ -47,6 +47,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pallas_compute_dtype(matmul_precision: str) -> str:
+    """TestConfig.matmul_precision -> fused-kernel compute_dtype."""
+    return {"default": "bfloat16", "high": "high"}.get(
+        matmul_precision, "float32"
+    )
+
+
 _PALLAS_PRECISIONS = {
     # compute_dtype -> operand dtype (the matmul mode rides separately:
     # float32 = 6-pass HIGHEST, high = manual 3-term bf16x3, bfloat16 =
@@ -176,7 +183,7 @@ def _make_kernel(
                     )
                     * inv_temp
                 )
-            aff_ref[:, pl.ds(t * FK, FK)] = aff + bias + fb_ref[T + t]
+            aff_ref[:, pl.ds(t * FK, FK)] = aff + bias + fb_ref[t]
             return 0
 
         jax.lax.fori_loop(0, T, pa_frame, 0)
@@ -187,6 +194,7 @@ def _make_kernel(
         # the resident affinity (values per round strictly decrease, so at
         # most k rounds cover >= k elements; ties inflate counts).
         RUNW = 128
+        assert topk <= RUNW, f"topk={topk} exceeds the {RUNW}-lane run buffer"
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, RUNW), 1)
 
         def round_fn(r, carry):
@@ -249,7 +257,11 @@ def _make_kernel(
             -1,
             keepdims=True,
         )
-        frac = (jnp.float32(topk) - n_above) / jnp.maximum(cnt_at_total, 1.0)
+        # clamp: when fewer than topk valid keys exist, every tied key is
+        # taken exactly once (matches the XLA tiled kernel's semantics)
+        frac = jnp.clip(
+            jnp.float32(topk) - n_above, 0.0, cnt_at_total
+        ) / jnp.maximum(cnt_at_total, 1.0)
 
         # ---------- pass C: value accumulation from resident affinity ------ #
         v_dma(0, 0).start()
@@ -464,6 +476,13 @@ def _call_fused_kernel(
     radius, temperature, topk, tile, mask_shape, dtype, interpret,
     mode: str = "float32",
 ):
+    if mode == "high" and qpad.dtype != jnp.float32:
+        # bf16 operands would make the lo terms exactly zero — the caller
+        # would silently get plain-bf16 accuracy while believing in bf16x3
+        raise ValueError(
+            "compute_dtype='high' needs float32 query/key operands; the "
+            f"given bank is {qpad.dtype}"
+        )
     C = qpad.shape[-1]
     halo = int(radius)
     win = tile + 2 * halo
@@ -478,10 +497,8 @@ def _call_fused_kernel(
         fb = jnp.zeros((T,), jnp.float32)
     if frame_idx is None:
         frame_idx = jnp.arange(T, dtype=jnp.int32)
-    # scalars: [idx_0..idx_{T-1}] (int SMEM) and [0.. , fb_0..fb_{T-1}]
-    # (float SMEM, bias slots offset by T)
     idx_smem = frame_idx.astype(jnp.int32)
-    fb_smem = jnp.concatenate([jnp.zeros((T,), jnp.float32), fb])
+    fb_smem = fb
 
     kernel, rows_pad, wpad, FK, K = _make_kernel(
         T=T,
