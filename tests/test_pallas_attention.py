@@ -93,3 +93,33 @@ def test_high_mode_close_to_float32():
     a = np.asarray(fused_topk_attention(q, k, v, compute_dtype="float32", **kw))
     b = np.asarray(fused_topk_attention(q, k, v, compute_dtype="high", **kw))
     np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3)
+
+
+def test_underfull_topk_matches_tiled():
+    """Fewer valid candidates than topk (tiny radius): the tie fraction must
+    clamp so every valid key is taken exactly once (review finding r2)."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+    from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
+
+    rng = np.random.default_rng(11)
+    H = W = 8
+    T, C, Cv = 1, 8, 3
+    q = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, H, W, C)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, H, W, Cv)), jnp.float32)
+    # radius 1.5 -> at most 5 in-circle keys per pixel, topk=10 under-full
+    a = np.asarray(
+        fused_topk_attention(
+            q, k, v, radius=1.5, temperature=0.07, topk=10, tile=8,
+            interpret=True,
+        )
+    )
+    b = np.asarray(
+        masked_topk_attention_tiled(
+            q, k, v, radius=1.5, temperature=0.07, topk=10, tile=8,
+            topk_impl="exact",
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
