@@ -198,7 +198,58 @@ class TapVidDataset:
             )
             with open(path, "w", encoding="utf8") as f:
                 json.dump(summaries, f)
+            self._write_reports(summaries, agg, output_dir)
         return agg
+
+    def _write_reports(self, summaries, agg, output_dir):
+        """Reference-parity report artifacts (tapvid.py:316-350): per-point
+        CSV, markdown metric table in result.txt, per-point figures."""
+        import csv
+
+        if summaries:
+            keys = sorted(summaries[0].keys())
+            with open(
+                os.path.join(output_dir, f"summaries{self.subset_name}.csv"),
+                "w",
+                newline="",
+            ) as f:
+                w = csv.DictWriter(f, fieldnames=keys)
+                w.writeheader()
+                w.writerows(summaries)
+
+        with open(os.path.join(output_dir, "result.txt"), "a") as f:
+            f.write(f"\n## TAP-Vid {self.subset_name}\n\n")
+            f.write("| metric | value |\n|---|---|\n")
+            for k, v in agg.items():
+                f.write(f"| {k} | {v:.4f} |\n")
+
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig_dir = os.path.join(output_dir, "figures")
+            os.makedirs(fig_dir, exist_ok=True)
+            vals = [
+                s["average_pts_within_thresh"]
+                for s in summaries
+                if "average_pts_within_thresh" in s
+            ]
+            if vals:
+                fig, ax = plt.subplots(figsize=(5, 3))
+                ax.hist(vals, bins=20, range=(0, 100))
+                ax.set_xlabel("per-point <D (avg pts within thresh)")
+                ax.set_ylabel("points")
+                fig.tight_layout()
+                fig.savefig(
+                    os.path.join(
+                        fig_dir, f"per_point_d_{self.subset_name}.png"
+                    )
+                )
+                plt.close(fig)
+        except Exception:
+            pass  # figures are best-effort (headless/minimal installs)
 
 
 def _fix_boundary_visibility(query_points, visibilities, hw):

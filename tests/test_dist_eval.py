@@ -151,3 +151,19 @@ def test_two_rank_jhmdb_indices_alignment(monkeypatch, tmp_path):
     assert sorted(p[0] for p in mailbox) == [0, 1, 2]
     for k, v in ref.items():
         assert merged[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_tapvid_report_artifacts(tapvid_root, tmp_path):
+    """evaluate(output_dir=...) writes json + csv + markdown + figure."""
+    from fgvc_tpu.apis.test import build_tracker, eval_tapvid
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+    cfg = _small_cfg()
+    tracker = build_tracker(cfg)
+    ds = TapVidDataset(tapvid_root, input_size=(24, 24))
+    eval_tapvid(tracker, ds, max_videos=1, output_dir=str(tmp_path))
+    assert (tmp_path / "summariesdavis.json").exists()
+    assert (tmp_path / "summariesdavis.csv").exists()
+    txt = (tmp_path / "result.txt").read_text()
+    assert "average_pts_within_thresh" in txt and "|" in txt
+    assert (tmp_path / "figures" / "per_point_d_davis.png").exists()
