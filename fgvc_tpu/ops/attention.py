@@ -71,6 +71,7 @@ def spatial_neighbor_mask(height: int, width: int, neighbor_range: int) -> jax.A
         "mode",
         "mask_shape",
         "precision",
+        "sim_mode",
     ),
 )
 def masked_topk_attention(
@@ -88,6 +89,7 @@ def masked_topk_attention(
     mask_shape: str = "circle",
     key_valid: Optional[jax.Array] = None,
     precision: str = "highest",
+    sim_mode: str = "dot_product",
 ) -> jax.Array:
     """Spatial-radius-masked top-k attention propagation.
 
@@ -106,6 +108,10 @@ def masked_topk_attention(
       mode: 'softmax' (weights = softmax) or 'cosine' (clamp(min=0)**2).
       precision: 'highest' (f32 parity) | 'high' (bf16x3) | 'default' (bf16)
         for the affinity matmuls.
+      sim_mode: 'dot_product' (÷ temperature) or 'l2-distance'
+        ((2·k·q − |k|²)/√C, the reference's alternate similarity —
+        local_attention.py:324-327; the |q|² term is constant per query
+        row and cancels in softmax/top-k, exactly as in the reference).
       mask_shape: 'circle' = euclidean distance < radius (spatial_neighbor);
         'square' = |dy| <= radius and |dx| <= radius (the window the
         reference's mmcv Correlation paths use).
@@ -134,6 +140,8 @@ def masked_topk_attention(
     q = query.reshape(HW, C)
     k = key.reshape(T * HW, C)
     v = value.reshape(T * HW, Cv)
+    if sim_mode == "l2-distance":
+        k_sq = jnp.sum(k * k, axis=-1)  # (T*HW,)
 
     # Per-key-pixel additive bias: -inf for invalid frames.
     ninf = jnp.float32(-jnp.inf)
@@ -163,13 +171,17 @@ def masked_topk_attention(
         qx = jax.lax.dynamic_slice_in_dim(gx_p, idx * step, step)
 
         # (S, T*HW) affinity
-        aff = jnp.einsum(
+        ab = jnp.einsum(
             "sc,kc->sk",
             q_c,
             k,
             preferred_element_type=jnp.float32,
             precision=prec,
-        ) / temperature
+        )
+        if sim_mode == "l2-distance":
+            aff = (2.0 * ab - k_sq[None, :]) / jnp.sqrt(jnp.float32(C))
+        else:
+            aff = ab / temperature
 
         if radius is not None:
             dy = jnp.abs(qy[:, None] - gy[None, :])

@@ -199,3 +199,42 @@ def test_part_unfold_fractional_coords():
     np.testing.assert_allclose(
         out[0, 0, 0], (x[4, 5] + x[4, 6]) / 2, rtol=1e-5
     )
+
+
+def test_masked_topk_attention_l2_distance_mode():
+    """sim_mode='l2-distance': aff = (2 k·q − |k|²)/√C, reference
+    local_attention.py:324-327 (|q|² cancels under softmax/top-k)."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.attention import masked_topk_attention
+
+    rng = np.random.default_rng(12)
+    T, H, W, C, Cv = 2, 8, 8, 8, 3
+    q = rng.standard_normal((H, W, C)).astype(np.float32)
+    k = rng.standard_normal((T, H, W, C)).astype(np.float32)
+    v = rng.standard_normal((T, H, W, Cv)).astype(np.float32)
+
+    out = np.asarray(
+        masked_topk_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            radius=None, temperature=0.07, topk=4, normalize=True,
+            step=16, sim_mode="l2-distance",
+        )
+    )
+
+    # numpy oracle following the reference computation order
+    def l2n(x, ax):
+        return x / np.maximum(
+            np.sqrt((x * x).sum(axis=ax, keepdims=True)), 1e-12
+        )
+
+    qn = l2n(q, -1).reshape(-1, C)
+    kn = l2n(k, -1).reshape(-1, C)
+    vf = v.reshape(-1, Cv)
+    aff = (2 * qn @ kn.T - (kn * kn).sum(-1)[None, :]) / np.sqrt(C)
+    idx = np.argsort(-aff, axis=-1)[:, :4]
+    w = np.take_along_axis(aff, idx, axis=-1)
+    w = np.exp(w - w.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("sk,skc->sc", w, vf[idx]).reshape(H, W, Cv)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
