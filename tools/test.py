@@ -52,6 +52,14 @@ def main():
         default=None,
         choices=["pallas", "tiled", "dense"],
     )
+    parser.add_argument(
+        "--coordinator",
+        default=None,
+        help="multi-host: jax.distributed coordinator address "
+             "(videos shard rank::world; results allgather before scoring)",
+    )
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
 
     import dataclasses
@@ -60,6 +68,15 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    if args.coordinator:
+        from fgvc_tpu.parallel.dist import initialize
+
+        initialize(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
 
