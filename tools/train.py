@@ -44,12 +44,27 @@ def main():
     parser.add_argument("--grad-clip", type=float, default=None,
                         help="global-norm gradient clipping")
     parser.add_argument("--loss-scale", type=float, default=1.0)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize backbone activations (bigger batches)")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: jax.distributed coordinator address")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    if args.coordinator:
+        from fgvc_tpu.parallel.dist import initialize
+
+        initialize(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from fgvc_tpu.apis.train import (
         make_synthetic_val_fn,
@@ -71,6 +86,7 @@ def main():
         seed=args.seed,
         grad_clip=args.grad_clip,
         loss_scale=args.loss_scale,
+        remat=args.remat,
     )
 
     if args.synthetic or not args.ytv_root:
