@@ -91,8 +91,11 @@ def build_raft_tracker(checkpoint: Optional[str] = None, iters: int = 12, seed: 
     return RaftTracker(variables, iters=iters, seed=seed, cnet_norm=cnet_norm)
 
 
-def _my_videos(n: int, rank: int, world: int):
-    return list(range(n))[rank::world]
+def _my_videos(n: int, rank: int, world: int, max_videos=None):
+    """This rank's video ids. `max_videos` truncates the GLOBAL id list
+    before sharding, so the evaluated set is identical at any world size."""
+    ids = list(range(n if max_videos is None else min(n, max_videos)))
+    return ids[rank::world]
 
 
 def _merge_shards(pairs):
@@ -118,9 +121,7 @@ def eval_tapvid(
     host→device upload and feature extraction are already dispatched
     (the TPU equivalent of the reference's CPU-bank prefetch)."""
     results = []
-    ids = _my_videos(len(dataset), rank, world)
-    if max_videos:
-        ids = ids[:max_videos]
+    ids = _my_videos(len(dataset), rank, world, max_videos)
 
     def load(i):
         sample = dataset[i]
@@ -163,9 +164,7 @@ def eval_jhmdb(
     tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
 ) -> Dict[str, float]:
     preds = []
-    ids = _my_videos(len(dataset), rank, world)
-    if max_videos:
-        ids = ids[:max_videos]
+    ids = _my_videos(len(dataset), rank, world, max_videos)
     for i in ids:
         sample = dataset[i]
         coords = tracker.track_heatmaps(
@@ -180,9 +179,7 @@ def eval_badja(
     tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
 ) -> Dict[str, float]:
     preds = []
-    ids = _my_videos(len(dataset), rank, world)
-    if max_videos:
-        ids = ids[:max_videos]
+    ids = _my_videos(len(dataset), rank, world, max_videos)
     for i in ids:
         sample = dataset[i]
         coords = tracker.track_heatmaps(
@@ -196,10 +193,13 @@ def eval_badja(
 def eval_vos(
     tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
 ) -> Dict[str, float]:
-    preds = []
-    ids = _my_videos(len(dataset), rank, world)
-    if max_videos:
-        ids = ids[:max_videos]
+    """Masks are SCORED locally per rank and only the small per-video J&F
+    stats cross processes — full-resolution mask stacks are hundreds of MB
+    and would crawl through the host link if allgathered raw."""
+    from fgvc_tpu.core.metrics.vos import aggregate_jf, evaluate_video_jf
+
+    stats = []
+    ids = _my_videos(len(dataset), rank, world, max_videos)
     for i in ids:
         sample = dataset[i]
         masks = tracker.track_masks(
@@ -208,9 +208,20 @@ def eval_vos(
             tuple(sample["original_shape"]),
             sample["num_objects"],
         )
-        preds.append((i, masks))
-    idxs, preds = _merge_shards(preds)
-    return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
+        gt = dataset.load_gt_masks(i)
+        n = min(len(gt), len(masks))
+        num_obj = int(gt.max())
+        stats.append((i, evaluate_video_jf(gt[1 : n - 1], masks[1 : n - 1], num_obj)))
+    _, stats = _merge_shards(stats)
+    results = aggregate_jf(stats)
+    if output_dir:
+        import os as _os
+
+        _os.makedirs(output_dir, exist_ok=True)
+        with open(_os.path.join(output_dir, "result.txt"), "a") as f:
+            for k, v in results.items():
+                f.write(f"{k}: {v}\n")
+    return results
 
 
 def run_task(
@@ -231,6 +242,10 @@ def run_task(
     from fgvc_tpu.parallel.dist import process_info
 
     rank, world = process_info()
+    # report artifacts are written once (rank 0) — every rank still scores
+    # the merged results, like the reference's rank-0 dataset.evaluate
+    if rank != 0:
+        output_dir = None
     cfg = test_cfg or TASK_CONFIGS[task]
     if model == "raft":
         if task not in ("davis", "kinetics"):

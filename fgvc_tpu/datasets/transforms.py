@@ -46,8 +46,11 @@ def _imresize(img, w, h, interpolation="bilinear"):
 
 
 def rescale_size(w: int, h: int, scale) -> Tuple[int, int]:
-    """mmcv.rescale_size semantics: scale=(a, b) bounds the long/short edge;
-    -1 entries mean unbounded (Resize(scale=(-1, N)) = short edge to N)."""
+    """mmcv.rescale_size semantics: a float scale is a plain factor;
+    scale=(a, b) bounds the long/short edge; -1 entries mean unbounded
+    (Resize(scale=(-1, N)) = short edge to N)."""
+    if isinstance(scale, (int, float)) and not isinstance(scale, bool):
+        return int(w * scale + 0.5), int(h * scale + 0.5)
     a, b = max(scale), min(scale)
     if b == -1:
         b, a = a, np.inf
@@ -221,8 +224,9 @@ class RGB2GRAY:
 
 
 class PhotoMetricDistortion:
-    """augmentation.py:1413-1550: brightness delta → contrast → saturation →
-    hue → random channel swap (each applied with prob 0.5)."""
+    """augmentation.py:1413-1538: brightness delta → contrast (random
+    position, before or after the color block) → saturation → hue, each
+    applied with prob 0.5."""
 
     def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
                  saturation_range=(0.5, 1.5), hue_delta=18):
@@ -238,7 +242,13 @@ class PhotoMetricDistortion:
         if random.random() < 0.5:
             delta = random.uniform(-self.brightness_delta, self.brightness_delta)
             imgs = [im + delta for im in imgs]
-        if random.random() < 0.5:
+        # mmdet-style random contrast position: applied either before
+        # (mode 1) or after (mode 0) the saturation/hue block. NOTE the
+        # reference's docstring mentions a channel swap but its CODE
+        # (augmentation.py:1480-1538) performs none — parity follows the
+        # code, so no swap here.
+        contrast_last = random.random() < 0.5
+        if not contrast_last and random.random() < 0.5:
             alpha = random.uniform(*self.contrast_range)
             imgs = [im * alpha for im in imgs]
         if random.random() < 0.5:
@@ -269,9 +279,9 @@ class PhotoMetricDistortion:
                     ).astype(np.float32)
                 )
             imgs = outs
-        if random.random() < 0.5:
-            perm = np.random.permutation(3)
-            imgs = [im[..., perm] for im in imgs]
+        if contrast_last and random.random() < 0.5:
+            alpha = random.uniform(*self.contrast_range)
+            imgs = [im * alpha for im in imgs]
         results["imgs"] = [np.clip(im, 0, 255) for im in imgs]
         return results
 
@@ -335,24 +345,34 @@ class RandomAffine:
     shared matrix per clip."""
 
     def __init__(self, degrees=10.0, translate=0.1, scale_range=(0.9, 1.1),
-                 shear=5.0):
+                 shear=5.0, p=0.5):
         self.degrees = degrees
         self.translate = translate
         self.scale_range = scale_range
         self.shear = shear
+        self.p = p
 
     def __call__(self, results):
         import cv2
 
+        if random.random() >= self.p:
+            return results
         h, w = results["imgs"][0].shape[:2]
         ang = random.uniform(-self.degrees, self.degrees)
         sc = random.uniform(*self.scale_range)
         tx = random.uniform(-self.translate, self.translate) * w
         ty = random.uniform(-self.translate, self.translate) * h
         sh = np.deg2rad(random.uniform(-self.shear, self.shear))
-        M = cv2.getRotationMatrix2D((w / 2, h / 2), ang, sc)
-        M[0, 1] += np.tan(sh)
-        M[:, 2] += (tx, ty)
+        # center-anchored rotation*scale*shear (torchvision F.affine
+        # convention): T(c) · R·S·Shear · T(-c), plus the translation
+        cx, cy = w / 2, h / 2
+        ca, sa = np.cos(np.deg2rad(ang)), np.sin(np.deg2rad(ang))
+        lin = np.array(
+            [[sc * ca, sc * (-sa + ca * np.tan(sh))],
+             [sc * sa, sc * (ca + sa * np.tan(sh))]]
+        )
+        off = np.array([cx + tx, cy + ty]) - lin @ np.array([cx, cy])
+        M = np.concatenate([lin, off[:, None]], axis=1)
         results["imgs"] = [
             cv2.warpAffine(np.asarray(im, np.float32), M, (w, h))
             for im in results["imgs"]

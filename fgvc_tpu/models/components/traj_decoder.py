@@ -54,6 +54,7 @@ def correlation_pyramid_per_point(
     corr = jnp.einsum(
         "btpc,bthwc->btphw", query_feat, feats,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / temperature
     if scaling:
         corr = corr / jnp.sqrt(jnp.float32(query_feat.shape[-1]))
@@ -85,8 +86,11 @@ def lookup_pyramid_per_point(
     (B, T, P, levels·(2r+1)²)."""
     r = radius
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")
-    offsets = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # (R2, 2) (x, y)
+    # reference quirk (corr_lookup.py:52/191): delta = stack(meshgrid(dy,dx))
+    # is ADDED to (x, y) coords, so flat window index k = i*(2r+1)+j samples
+    # (x + d[i], y + d[j]) — the x offset varies along the SLOW axis
+    dslow, dfast = jnp.meshgrid(d, d, indexing="ij")
+    offsets = jnp.stack([dslow, dfast], axis=-1).reshape(-1, 2)  # (R2, 2) (x, y)
 
     outs = []
     for lvl, corr in enumerate(pyramid):
@@ -259,8 +263,16 @@ class TrajPyramidDecoder(nn.Module):
             x = jnp.concatenate([cur_corrs, time_emb, query_feat], axis=-1)
             delta = self.traj_pred(x)
             if self.use_update_feat:
-                df = nn.gelu(ffeat_dense(ffeat_norm(delta[..., :-2])))
-                query_feat = query_feat + df
+                assert delta.shape[-1] == self.input_dim + 2, (
+                    "use_update_feat=True needs a head emitting "
+                    f"input_dim+2={self.input_dim + 2} channels, got "
+                    f"{delta.shape[-1]} (set update_feat on the head)"
+                )
+                # per-point statistics: the reference GroupNorm(1, C) runs on
+                # the flattened (B*T*P, C) tensor (traj_decoder.py:141-146)
+                df = delta[..., :-2].reshape(-1, self.input_dim)
+                df = nn.gelu(ffeat_dense(ffeat_norm(df)))
+                query_feat = query_feat + df.reshape(query_feat.shape)
             coords = coords + delta[..., -2:]
             preds.append(coords * self.stride)
         return preds, query_feat_init, query_feat
@@ -319,8 +331,10 @@ class TrajPyramidDecoderV2(nn.Module):
             x = x + pos_embed + time_embed
             delta = self.traj_pred(x)
             if self.use_update_feat:
-                df = nn.gelu(ffeat_dense(ffeat_norm(delta[..., :-2])))
-                query_feat = query_feat + df
+                assert delta.shape[-1] == self.input_dim + 2
+                df = delta[..., :-2].reshape(-1, self.input_dim)
+                df = nn.gelu(ffeat_dense(ffeat_norm(df)))
+                query_feat = query_feat + df.reshape(query_feat.shape)
             coords = coords + delta[..., -2:]
             preds.append(coords * self.stride)
         return preds, query_feat_init, query_feat
@@ -409,8 +423,10 @@ class TrajPyramidDecoderV3(nn.Module):
             x = jnp.concatenate([corr_input, feat_input, time_emb], axis=-1)
             delta = self.traj_pred(x)
             if self.use_update_feat:
-                df = nn.gelu(ffeat_dense(ffeat_norm(delta[..., :-2])))
-                query_feat = query_feat + df
+                assert delta.shape[-1] == self.input_dim + 2
+                df = delta[..., :-2].reshape(-1, self.input_dim)
+                df = nn.gelu(ffeat_dense(ffeat_norm(df)))
+                query_feat = query_feat + df.reshape(query_feat.shape)
             coords = coords + delta[..., -2:]
             preds.append(coords * self.stride)
         return preds, query_feat_init, query_feat

@@ -125,7 +125,9 @@ def lookup_corr(pyramid, coords: jax.Array, radius: int = 4) -> jax.Array:
         ),
         axis=-1,
     )  # (2r+1, 2r+1, 2) (dy, dx)
-    offsets = jnp.stack([d[..., 1], d[..., 0]], axis=-1).reshape(-1, 2)
+    # reference quirk (corr_lookup.py:52): delta = stack(meshgrid(dy, dx))
+    # is ADDED to (x, y), so the x offset varies along the SLOW window axis
+    offsets = jnp.stack([d[..., 0], d[..., 1]], axis=-1).reshape(-1, 2)
 
     outs = []
     for lvl, corr in enumerate(pyramid):

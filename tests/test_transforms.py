@@ -98,7 +98,7 @@ def test_photometric_transforms_stay_in_range():
 
 def test_affine_and_colorspace_and_format():
     random.seed(5)
-    res = RandomAffine()(_sample(flow=False))
+    res = RandomAffine(p=1.0)(_sample(flow=False))
     assert "affine_matrix" in res
     assert res["imgs"][0].shape == (40, 60, 3)
 
