@@ -43,3 +43,28 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def batch_shuffle(x: jax.Array, rng: jax.Array):
+    """MoCo shuffle-BN equivalent (_batch_shuffle_ddp,
+    /root/reference/mmpt/models/common/utils.py:98-177).
+
+    The reference shuffles the global batch across GPUs with an all_gather +
+    broadcast-ed permutation so per-GPU BatchNorm sees mixed samples. On a
+    TPU mesh the global batch is ONE sharded jax.Array, so the shuffle is a
+    plain permutation gather inside jit — XLA inserts the collective.
+
+    Returns (shuffled, unshuffle_idx); apply `batch_unshuffle` after.
+    """
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    perm = jax.random.permutation(rng, n)
+    inv = jnp.argsort(perm)
+    return jnp.take(x, perm, axis=0), inv
+
+
+def batch_unshuffle(x: jax.Array, unshuffle_idx: jax.Array):
+    import jax.numpy as jnp
+
+    return jnp.take(x, unshuffle_idx, axis=0)

@@ -250,3 +250,30 @@ def test_remat_matches_plain_step():
         np.asarray(s2.params["backbone"]["conv1"]["kernel"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_batch_shuffle_roundtrip_on_mesh():
+    """MoCo shuffle-BN equivalent: permutation + inverse under a data mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from fgvc_tpu.parallel.mesh import (
+        batch_shuffle,
+        batch_unshuffle,
+        make_mesh,
+        shard_batch,
+    )
+
+    mesh = make_mesh(jax.devices()[:4])
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    with mesh:
+        xs = shard_batch({"x": x}, mesh)["x"]
+
+        @jax.jit
+        def roundtrip(x, rng):
+            s, inv = batch_shuffle(x, rng)
+            return s, batch_unshuffle(s, inv)
+
+        shuffled, restored = roundtrip(xs, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(restored), x)
+    assert not np.array_equal(np.asarray(shuffled), x)
