@@ -156,8 +156,33 @@ def eval_tapvid(
                 },
             )
         )
+        if output_dir and n == 0:
+            # PIPs Summ_writer-style trajectory render of the first video
+            # (reference tapvid.py:206-300 writes per-video track videos)
+            _write_track_video(
+                sample["video"], out["trajectories"], output_dir, i
+            )
     _, results = _merge_shards(results)
     return dataset.evaluate(results, output_dir=output_dir)
+
+
+def _write_track_video(video, trajectories, output_dir, idx):
+    try:
+        import os
+
+        from fgvc_tpu.utils.visualize import (
+            draw_trajectory_tails,
+            paint_point_track,
+            save_video,
+        )
+
+        os.makedirs(output_dir, exist_ok=True)
+        tracks = np.transpose(trajectories, (1, 0, 2))  # (P, T, 2)
+        vid = paint_point_track(np.asarray(video), tracks)
+        vid = draw_trajectory_tails(vid, tracks)
+        save_video(vid, os.path.join(output_dir, f"tracks_{idx:04d}.mp4"))
+    except Exception:
+        pass  # visualization is best-effort
 
 
 def eval_jhmdb(

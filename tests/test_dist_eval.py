@@ -167,3 +167,29 @@ def test_tapvid_report_artifacts(tapvid_root, tmp_path):
     txt = (tmp_path / "result.txt").read_text()
     assert "average_pts_within_thresh" in txt and "|" in txt
     assert (tmp_path / "figures" / "per_point_d_davis.png").exists()
+
+
+def test_max_videos_is_global_across_world_sizes(tapvid_root):
+    """max_videos truncates the GLOBAL list before sharding (review fix)."""
+    from fgvc_tpu.apis.test import _my_videos
+
+    assert _my_videos(10, 0, 1, max_videos=4) == [0, 1, 2, 3]
+    assert _my_videos(10, 0, 2, max_videos=4) == [0, 2]
+    assert _my_videos(10, 1, 2, max_videos=4) == [1, 3]
+    # union across ranks == the single-process set
+    union = sorted(
+        _my_videos(10, 0, 2, max_videos=4) + _my_videos(10, 1, 2, max_videos=4)
+    )
+    assert union == [0, 1, 2, 3]
+
+
+def test_track_video_artifact_written(tapvid_root, tmp_path):
+    from fgvc_tpu.apis.test import build_tracker, eval_tapvid
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+    cfg = _small_cfg()
+    tracker = build_tracker(cfg)
+    ds = TapVidDataset(tapvid_root, input_size=(24, 24))
+    eval_tapvid(tracker, ds, max_videos=1, output_dir=str(tmp_path))
+    vids = list(tmp_path.glob("tracks_*.mp4"))
+    assert len(vids) == 1 and vids[0].stat().st_size > 0
