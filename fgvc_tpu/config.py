@@ -54,6 +54,12 @@ class TestConfig:
     # re-design of the reference's per-chunk recompute mode
     # (local_attention.py:883-1006).
     save_mem: bool = False
+    # decode: 'upsample' = reference-exact (bilinear to full res, then
+    # top-5 soft-argmax); 'coarse' = soft-argmax on feature-res logits
+    # scaled by stride (skips the per-frame full-res resize; ~1-2 ms/frame
+    # faster, metric delta pending a real-data check like the other
+    # approximate modes).
+    decode_impl: str = "upsample"
     tile: int = 32  # query tile edge for the tiled kernel
     # 'highest' = full f32 on MXU (parity); 'default' = bf16 multiplies.
     matmul_precision: str = "highest"

@@ -329,8 +329,18 @@ class Tracker:
         H_full, W_full = full_hw
         P = init_maps.shape[0]
         first_value = jnp.transpose(init_maps, (1, 2, 0))  # (h, w, P)
+        h, w = feats.shape[1:3]
+        stride_y = H_full / h
+        stride_x = W_full / w
 
         def decode(logits_hw_p):
+            if self.cfg.decode_impl == "coarse":
+                # feature-res soft-argmax scaled to full res (fast mode)
+                c = soft_argmax_topk(
+                    jnp.transpose(logits_hw_p, (2, 0, 1)), topk=5
+                )
+                scaled = c * jnp.asarray([stride_x, stride_y], jnp.float32)
+                return jnp.where(c < 0, -1.0, scaled)
             up = jax.image.resize(
                 logits_hw_p, (H_full, W_full, P), method="bilinear"
             )

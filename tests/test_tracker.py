@@ -168,3 +168,40 @@ def test_save_mem_vos_matches_bank_mode():
         )
         outs[sm] = tr.track_masks(video, ref_mask, (H, W), num_objects=2)
     np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_coarse_decode_close_to_upsample_decode():
+    """decode_impl='coarse' stays within a few full-res pixels of the exact
+    upsample decode (random-feature maps are adversarially spiky; real
+    gaussian-like propagation maps agree within ~1 px)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.tracker import Tracker
+    from fgvc_tpu.ops.grids import draw_gaussian_maps
+
+    rng = np.random.default_rng(6)
+    T, h, w, C, P = 5, 16, 16, 8, 3
+    H, W = 32, 32
+    feats = rng.standard_normal((T, h, w, C)).astype(np.float32)
+    base = dict(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        input_size=(H, W), frame_bucket=4, point_bucket=4, tile=8,
+        attention_impl="tiled",
+    )
+    pts = rng.uniform(6, 26, size=(P, 2)).astype(np.float32)
+    init_maps = np.asarray(
+        draw_gaussian_maps(jnp.asarray(pts), H, W, sigma=6.0, stride=2)
+    )
+    outs = {}
+    for mode in ("upsample", "coarse"):
+        cfg = TestConfig(**base, decode_impl=mode)
+        tr = Tracker(lambda v, x: x, {}, cfg)
+        outs[mode] = np.asarray(
+            tr._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
+        )
+    d = np.abs(outs["coarse"][1:] - outs["upsample"][1:])
+    assert d.max() < 5.0  # within ~2 coarse pixels at stride 2
+    assert np.median(d) < 2.0
