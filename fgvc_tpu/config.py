@@ -98,6 +98,12 @@ class TrainConfig:
     lr: float = 1e-3
     betas: Tuple[float, float] = (0.9, 0.999)
     max_epochs: int = 30
+    # REFERENCE QUIRK: the shipped config sets warmup_iters/ratio but omits
+    # the mmcv `warmup` POLICY key, so LrUpdaterHook never applies warmup —
+    # the released model trained with pure cosine annealing from step 0.
+    # warmup=None reproduces that; warmup='linear' enables the (apparently
+    # intended) 10-epoch linear warmup.
+    warmup: Optional[str] = None
     warmup_epochs: int = 10
     warmup_ratio: float = 0.1
     min_lr_ratio: float = 0.001

@@ -43,8 +43,19 @@ class TrainState:
 
 
 def make_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
-    """Linear warmup (10 epochs, from 0.1×lr) into cosine decay to 0.001×lr."""
+    """Cosine annealing lr -> lr*min_lr_ratio over all steps.
+
+    The reference config (configs/train/mixed_train_...py:141-148) sets
+    warmup_iters/warmup_ratio but OMITS mmcv's `warmup` policy key, so the
+    hook never applies warmup — the released recipe is pure cosine from
+    step 0. cfg.warmup=None reproduces that; 'linear' adds the intended
+    warmup via optax.warmup_cosine_decay_schedule.
+    """
     total = cfg.max_epochs * steps_per_epoch
+    if cfg.warmup is None:
+        return optax.cosine_decay_schedule(
+            init_value=cfg.lr, decay_steps=total, alpha=cfg.min_lr_ratio
+        )
     warm = cfg.warmup_epochs * steps_per_epoch
     return optax.warmup_cosine_decay_schedule(
         init_value=cfg.lr * cfg.warmup_ratio,

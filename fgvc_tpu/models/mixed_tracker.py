@@ -144,7 +144,7 @@ def supervised_distillation_loss(
     tf = l2_normalize(teacher_feat, axis=1)
 
     occ = jax.vmap(forward_backward_consistency)(
-        jnp.transpose(flow, (0, 1, 2, 3)), flow_back
+        flow, flow_back
     )  # (B, H, W)
     occ_s = occ[:, ::s, ::s]
 

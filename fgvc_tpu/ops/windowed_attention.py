@@ -40,6 +40,34 @@ _PRECISIONS = {
 }
 
 
+def _gather_free_value_matmul(aff, w10, v_flat, prec):
+    """Thresholded-softmax value lookup WITHOUT a scattered gather.
+
+    `w10` holds the exact top-k affinities per row. Every entry of `aff`
+    >= the k-th value gets its softmax weight; entries exactly AT the
+    threshold share the remaining top-k budget fractionally (tie-split) —
+    with the duplicated-first-frame keys of early propagation steps
+    (identical keys AND values) this reproduces exact-top-k output.
+    The clamps keep -inf rows finite.
+    """
+    m = jnp.maximum(jnp.max(w10, -1, keepdims=True), -1e30)
+    thresh = jnp.maximum(jnp.min(w10, -1, keepdims=True), -1e30)
+    z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
+    above = (aff > thresh).astype(jnp.float32)
+    at = (aff == thresh).astype(jnp.float32)
+    n_at = jnp.sum(at, axis=-1, keepdims=True)
+    n_sel = jnp.sum((w10 == thresh).astype(jnp.float32), -1, keepdims=True)
+    tie_frac = jnp.where(n_at > 0, n_sel / jnp.maximum(n_at, 1.0), 0.0)
+    weights = jnp.exp(aff - m) * (above + tie_frac * at) / z
+    return jnp.einsum(
+        "sk,kc->sc",
+        weights,
+        v_flat,
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -84,6 +112,8 @@ def masked_topk_attention_tiled(
     """
     if mode not in ("softmax", "cosine"):
         raise ValueError(f"unknown mode {mode}")
+    if topk_impl not in ("exact", "segmented", "certified", "approx"):
+        raise ValueError(f"unknown topk_impl {topk_impl}")
     H, W, C = query.shape
     T = value.shape[0] if frame_idx is not None else key.shape[0]
     Cv = value.shape[-1]
@@ -216,24 +246,7 @@ def masked_topk_attention_tiled(
                 lambda: jax.lax.top_k(cand, topk)[0],
                 lambda: jax.lax.top_k(aff, topk)[0],
             )
-            m = jnp.maximum(jnp.max(w10, -1, keepdims=True), -1e30)
-            thresh = jnp.maximum(jnp.min(w10, -1, keepdims=True), -1e30)
-            z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
-            above = (aff > thresh).astype(jnp.float32)
-            at = (aff == thresh).astype(jnp.float32)
-            n_at = jnp.sum(at, axis=-1, keepdims=True)
-            n_sel = jnp.sum(
-                (w10 == thresh).astype(jnp.float32), -1, keepdims=True
-            )
-            tie_frac = jnp.where(n_at > 0, n_sel / jnp.maximum(n_at, 1.0), 0.0)
-            weights = jnp.exp(aff - m) * (above + tie_frac * at) / z
-            out = jnp.einsum(
-                "sk,kc->sc",
-                weights,
-                v_t.reshape(K, Cv),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            out = _gather_free_value_matmul(aff, w10, v_t.reshape(K, Cv), prec)
         elif topk is not None and mode == "softmax" and topk_impl == "segmented":
             # EXACT top-k via segment-max prefiltering (ops/topk.py: the
             # bitonic sort runs over k·seg candidates instead of K) + the
@@ -244,31 +257,7 @@ def masked_topk_attention_tiled(
             from fgvc_tpu.ops.topk import topk_segmented
 
             w10, _ = topk_segmented(aff, topk, seg=512)
-            m = jnp.maximum(jnp.max(w10, -1, keepdims=True), -1e30)
-            thresh = jnp.maximum(jnp.min(w10, -1, keepdims=True), -1e30)
-            z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
-            # Tie-split correction: duplicated first-frame keys (the
-            # reference's t <= precede_frames quirk) produce EXACT affinity
-            # ties; when the tie straddles the k-boundary only part of the
-            # tied group is inside the top-k. Tied columns carry identical
-            # values (same key frame, same value map), so giving each tied
-            # column an equal fraction of the remaining budget reproduces
-            # the exact-top-k output bit-for-parity.
-            above = (aff > thresh).astype(jnp.float32)          # strictly in
-            at = (aff == thresh).astype(jnp.float32)            # tied at k-th
-            n_at = jnp.sum(at, axis=-1, keepdims=True)
-            n_sel = jnp.sum(
-                (w10 == thresh).astype(jnp.float32), -1, keepdims=True
-            )  # tied entries the exact top-k actually selected
-            tie_frac = jnp.where(n_at > 0, n_sel / jnp.maximum(n_at, 1.0), 0.0)
-            weights = jnp.exp(aff - m) * (above + tie_frac * at) / z
-            out = jnp.einsum(
-                "sk,kc->sc",
-                weights,
-                v_t.reshape(K, Cv),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            out = _gather_free_value_matmul(aff, w10, v_t.reshape(K, Cv), prec)
         elif topk is not None:
             w, idxs = jax.lax.top_k(aff, topk)  # (S, k)
             if mode == "softmax":
