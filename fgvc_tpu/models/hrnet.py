@@ -235,3 +235,144 @@ def hrnet_w18(**kw) -> HRNet:
 def init_hrnet_params(model: HRNet, rng, input_hw: Tuple[int, int]):
     dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
     return model.init(rng, dummy, train=False)
+
+
+def convert_hrnet_state_dict(state, extra=None, prefix: str = ""):
+    """mmcv HRNet checkpoint → flax HRNet variables.
+
+    Maps the mmcv module naming (hrnet.py:264-470) onto this module's
+    structure:
+
+      conv1/bn1/conv2/bn2                      → stem
+      layer1.{j}.conv{n}/bn{n}[,downsample.0/1] → layer1_{j} bottlenecks
+      transition{s}.{i}(.{k}).0/.1             → transition{s}_{i}[_d{k}]
+      stage{s}.{m}.branches.{b}.{j}.*          → stage{s}_m{m}/branch{b}_block{j}
+      stage{s}.{m}.fuse_layers.{i}.{j}...      → stage{s}_m{m}/fuse{i}_{j}*
+
+    Raises on unconverted `{prefix}`-scoped keys (same no-silent-partial-load
+    policy as the ResNet/RAFT/DINO converters).
+    """
+    import numpy as np
+
+    extra = extra or HRNET_W18_EXTRA
+    p = prefix
+    state = {k: np.asarray(v) for k, v in state.items()}
+    params, stats = {}, {}
+    consumed = set()
+
+    def put(tree, path, leaf):
+        node = tree
+        for q in path[:-1]:
+            node = node.setdefault(q, {})
+        node[path[-1]] = leaf
+
+    def conv(fpath, tkey):
+        k = f"{tkey}.weight"
+        if k not in state:
+            return False
+        put(params, (*fpath, "kernel"), np.transpose(state[k], (2, 3, 1, 0)))
+        consumed.add(k)
+        return True
+
+    def bn(fpath, tbase):
+        k = f"{tbase}.weight"
+        if k not in state:
+            return False
+        put(params, (*fpath, "scale"), state[k])
+        put(params, (*fpath, "bias"), state[f"{tbase}.bias"])
+        put(stats, (*fpath, "mean"), state[f"{tbase}.running_mean"])
+        put(stats, (*fpath, "var"), state[f"{tbase}.running_var"])
+        consumed.update(
+            f"{tbase}.{s}"
+            for s in ("weight", "bias", "running_mean", "running_var")
+        )
+        return True
+
+    # stem
+    conv(("conv1",), f"{p}conv1")
+    bn(("bn1",), f"{p}bn1")
+    conv(("conv2",), f"{p}conv2")
+    bn(("bn2",), f"{p}bn2")
+
+    def block(fblock, tbase, kind):
+        convs = (1, 2, 3) if kind == "BOTTLENECK" else (1, 2)
+        for n in convs:
+            conv((*fblock, f"conv{n}"), f"{tbase}.conv{n}")
+            bn((*fblock, f"bn{n}"), f"{tbase}.bn{n}")
+        if conv((*fblock, "down_conv"), f"{tbase}.downsample.0"):
+            bn((*fblock, "down_bn"), f"{tbase}.downsample.1")
+
+    # stage 1 (layer1)
+    s1 = extra["stage1"]
+    for j in range(s1["num_blocks"][0]):
+        block((f"layer1_{j}",), f"{p}layer1.{j}", s1["block"])
+
+    for si in (2, 3, 4):
+        cfg = extra[f"stage{si}"]
+        nb = cfg["num_branches"]
+        # transitions: mmcv transition{si-1}.{i} is either Sequential(conv,
+        # bn, relu) (same-branch channel change) or Sequential of
+        # Sequential(conv, bn, relu) downsample chains (new branches)
+        for i in range(nb):
+            t = f"{p}transition{si - 1}.{i}"
+            if conv((f"transition{si - 1}_{i}_conv",), f"{t}.0"):
+                bn((f"transition{si - 1}_{i}_bn",), f"{t}.1")
+            else:
+                k = 0
+                while conv(
+                    (f"transition{si - 1}_{i}_d{k}_conv",), f"{t}.{k}.0"
+                ):
+                    bn((f"transition{si - 1}_{i}_d{k}_bn",), f"{t}.{k}.1")
+                    k += 1
+        # HR modules
+        for m in range(cfg["num_modules"]):
+            base = f"{p}stage{si}.{m}"
+            fmod = f"stage{si}_m{m}"
+            for b in range(nb):
+                for j in range(cfg["num_blocks"][b]):
+                    block(
+                        (fmod, f"branch{b}_block{j}"),
+                        f"{base}.branches.{b}.{j}",
+                        cfg["block"],
+                    )
+            for i in range(nb):
+                for j in range(nb):
+                    if j == i:
+                        continue
+                    fl = f"{base}.fuse_layers.{i}.{j}"
+                    if j > i:
+                        if conv((fmod, f"fuse{i}_{j}_conv"), f"{fl}.0"):
+                            bn((fmod, f"fuse{i}_{j}_bn"), f"{fl}.1")
+                    else:
+                        for k in range(i - j):
+                            if conv(
+                                (fmod, f"fuse{i}_{j}_down{k}_conv"),
+                                f"{fl}.{k}.0",
+                            ):
+                                bn(
+                                    (fmod, f"fuse{i}_{j}_down{k}_bn"),
+                                    f"{fl}.{k}.1",
+                                )
+
+    scope = (
+        lambda k: k.startswith(p)
+        if p
+        else not k.startswith(("head", "classifier", "fc", "incre", "downsamp", "final"))
+    )
+    leftover = {
+        k
+        for k in state
+        if scope(k)
+        and k not in consumed
+        and not k.endswith("num_batches_tracked")
+    }
+    if leftover:
+        raise ValueError(
+            f"unconverted HRNet keys: {sorted(leftover)[:8]}"
+            f"{' ...' if len(leftover) > 8 else ''}"
+        )
+
+    import jax.numpy as jnp_
+
+    to = lambda t: jax.tree_util.tree_map(jnp_.asarray, t)
+    return {"params": to(params), "batch_stats": to(stats)}
