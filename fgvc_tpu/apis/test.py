@@ -185,17 +185,41 @@ def _write_track_video(video, trajectories, output_dir, idx):
         pass  # visualization is best-effort
 
 
+def _heatmap_eval_loop(tracker, dataset, ids):
+    """Shared JHMDB/BADJA loop with one-deep video prefetch (upload +
+    feature extraction of video i+1 dispatch while video i propagates)."""
+    def load(i):
+        sample = dataset[i]
+        feats = (
+            tracker._features_padded(sample["video"])
+            if hasattr(tracker, "_features_padded")
+            else None
+        )
+        return sample, feats
+
+    out = []
+    nxt = load(ids[0]) if ids else None
+    for n, i in enumerate(ids):
+        sample, feats = nxt
+        nxt = load(ids[n + 1]) if n + 1 < len(ids) else None
+        coords = tracker.track_heatmaps(
+            sample["video"],
+            sample["ref_maps"],
+            tuple(sample["original_shape"]),
+            feats=feats,
+        )
+        out.append((i, coords))
+    return out
+
+
 def eval_jhmdb(
     tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
 ) -> Dict[str, float]:
-    preds = []
     ids = _my_videos(len(dataset), rank, world, max_videos)
-    for i in ids:
-        sample = dataset[i]
-        coords = tracker.track_heatmaps(
-            sample["video"], sample["ref_maps"], tuple(sample["original_shape"])
-        )  # (T, P, 2)
-        preds.append((i, np.transpose(coords, (2, 1, 0))))  # (2, P, T)
+    preds = [
+        (i, np.transpose(c, (2, 1, 0)))  # (2, P, T)
+        for i, c in _heatmap_eval_loop(tracker, dataset, ids)
+    ]
     idxs, preds = _merge_shards(preds)
     return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
 
@@ -203,14 +227,8 @@ def eval_jhmdb(
 def eval_badja(
     tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
 ) -> Dict[str, float]:
-    preds = []
     ids = _my_videos(len(dataset), rank, world, max_videos)
-    for i in ids:
-        sample = dataset[i]
-        coords = tracker.track_heatmaps(
-            sample["video"], sample["ref_maps"], tuple(sample["original_shape"])
-        )
-        preds.append((i, coords))  # (T, P, 2) at input size
+    preds = _heatmap_eval_loop(tracker, dataset, ids)  # (T, P, 2) @ input size
     idxs, preds = _merge_shards(preds)
     return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
 

@@ -624,6 +624,7 @@ class Tracker:
         video: np.ndarray,       # (T, H, W, 3) preprocessed (Lab-normalized)
         ref_maps: np.ndarray,    # (h0, w0, P) reference keypoint heatmaps
         decode_hw: Tuple[int, int],  # resolution to decode coordinates at
+        feats: Optional[jax.Array] = None,  # prefetched _features_padded
     ) -> np.ndarray:
         """Propagate given reference heatmaps from frame 0; returns
         (T, P, 2) (x, y) coords at decode_hw resolution.
@@ -638,7 +639,8 @@ class Tracker:
         T = video.shape[0]
         P = ref_maps.shape[-1]
 
-        feats = self._features_padded(video)
+        if feats is None:
+            feats = self._features_padded(video)
         h, w = feats.shape[1:3]
 
         p_pad = _bucket(P, cfg.point_bucket)
