@@ -162,8 +162,8 @@ def eval_tapvid(
             _write_track_video(
                 sample["video"], out["trajectories"], output_dir, i
             )
-    _, results = _merge_shards(results)
-    return dataset.evaluate(results, output_dir=output_dir)
+    idxs, results = _merge_shards(results)
+    return dataset.evaluate(results, output_dir=output_dir, indices=idxs)
 
 
 def _write_track_video(video, trajectories, output_dir, idx):

@@ -56,49 +56,67 @@ def compute_tapvid_metrics(
     eval_pts = frames != q_frame[..., None]  # (B, N, T)
 
     if query_mode == "first":
+        # PUBLISHED QUIRK reproduced exactly: np.where over the 2-D (N, T)
+        # occlusion array, so the index is the first TRACK with any visible
+        # frame and the first `index` tracks are masked entirely
+        # (tapvid_evaluation_datasets.py:173-177). For the reference's
+        # per-point calling convention (N == 1) this masks nothing when the
+        # track is ever visible. Guard the all-occluded case (the published
+        # code would IndexError) by masking nothing.
         for b in range(B):
-            first_vis = np.where(gt_occluded[b] == 0)[0][0]
-            eval_pts[b, :first_vis] = False
-        # NOTE: the published implementation indexes np.where over the
-        # flattened (N, T) array, masking the first `index` *tracks* — we
-        # reproduce the intended per-track semantics below instead when
-        # shapes make the published variant ill-defined; for B==N==1 per-point
-        # evaluation (the reference's calling convention) the two coincide.
+            vis_rows = np.where(gt_occluded[b] == 0)[0]
+            if len(vis_rows):
+                eval_pts[b, : vis_rows[0]] = False
 
     occ_correct = np.equal(pred_occluded, gt_occluded) & eval_pts
+    # PUBLISHED QUIRK: denominator is the FULL batch sum, not per-video —
+    # correct only for B == 1, the reference's (and our) calling convention.
     metrics["occlusion_accuracy"] = occ_correct.sum(axis=(1, 2)) / eval_pts.sum()
 
     visible = ~gt_occluded
     pred_visible = ~pred_occluded
     all_frac, all_jac = [], []
     sq_dist = np.sum(np.square(pred_tracks - gt_tracks), axis=-1)  # (B, N, T)
-    for thr in THRESHOLDS:
-        within = sq_dist < thr * thr
-        correct = within & visible
-        frac = (correct & eval_pts).sum(axis=(1, 2)) / np.maximum(
-            (visible & eval_pts).sum(axis=(1, 2)), 1e-12
-        )
-        metrics[f"pts_within_{thr}"] = frac
-        all_frac.append(frac)
+    # zero denominators yield NaN like the published code — downstream
+    # aggregation skips NaN (pandas .mean semantics), so degenerate points
+    # (visible only at the query frame) are dropped, not scored as 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for thr in THRESHOLDS:
+            within = sq_dist < thr * thr
+            correct = within & visible
+            frac = (correct & eval_pts).sum(axis=(1, 2)) / (
+                visible & eval_pts
+            ).sum(axis=(1, 2))
+            metrics[f"pts_within_{thr}"] = frac
+            all_frac.append(frac)
 
-        tp = (correct & pred_visible & eval_pts).sum(axis=(1, 2))
-        gt_pos = (visible & eval_pts).sum(axis=(1, 2))
-        fp = (((~visible) & pred_visible) | ((~within) & pred_visible))
-        fp = (fp & eval_pts).sum(axis=(1, 2))
-        jac = tp / np.maximum(gt_pos + fp, 1e-12)
-        metrics[f"jaccard_{thr}"] = jac
-        all_jac.append(jac)
+            tp = (correct & pred_visible & eval_pts).sum(axis=(1, 2))
+            gt_pos = (visible & eval_pts).sum(axis=(1, 2))
+            fp = (((~visible) & pred_visible) | ((~within) & pred_visible))
+            fp = (fp & eval_pts).sum(axis=(1, 2))
+            jac = tp / (gt_pos + fp)
+            metrics[f"jaccard_{thr}"] = jac
+            all_jac.append(jac)
 
-    for thr in additional_pck_thresholds:
-        within = sq_dist < thr * thr
-        frac = (within & visible & eval_pts).sum(axis=(1, 2)) / np.maximum(
-            (visible & eval_pts).sum(axis=(1, 2)), 1e-12
-        )
-        metrics[f"pts_within_{thr}"] = frac
+        for thr in additional_pck_thresholds:
+            within = sq_dist < thr * thr
+            frac = (within & visible & eval_pts).sum(axis=(1, 2)) / (
+                visible & eval_pts
+            ).sum(axis=(1, 2))
+            metrics[f"pts_within_{thr}"] = frac
 
     metrics["average_jaccard"] = np.mean(np.stack(all_jac, axis=1), axis=1)
     metrics["average_pts_within_thresh"] = np.mean(np.stack(all_frac, axis=1), axis=1)
     return metrics
+
+
+# the reference's extra PCK threshold list (figures.py:286-291)
+ADDITIONAL_PCK_THRESHOLDS = (
+    0.01,
+    0.05,
+    *[0.1 * (i + 1) for i in range(10)],
+    *[float(i + 1) for i in range(10)],
+)
 
 
 def compute_point_summary(
@@ -108,6 +126,7 @@ def compute_point_summary(
     visibility_pred: np.ndarray,   # (T,)
     query_point: np.ndarray,       # (3,) (t, x, y)
     query_mode: str = "first",
+    idx: str = "",
 ) -> Dict[str, float]:
     """Per-point metric summary (×100), the reference's compute_summary unit
     (/root/reference/mmpt/datasets/flyingthingsplus/utils/figures.py:179).
@@ -118,6 +137,7 @@ def compute_point_summary(
     vis = visibility_gt.astype(bool)
     d = np.linalg.norm(trajectory_pred - trajectory_gt, axis=-1)
     summary: Dict[str, float] = {
+        "idx": idx,
         "ade": float(d.mean()) if len(d) else float("nan"),
         "ade_visible": float(d[vis].mean()) if vis.any() else float("nan"),
         "n_timesteps": int(len(trajectory_gt)),
@@ -130,24 +150,39 @@ def compute_point_summary(
         pred_occluded=~visibility_pred[None, None, :].astype(bool),
         pred_tracks=trajectory_pred[None, None],
         query_mode=query_mode,
+        additional_pck_thresholds=ADDITIONAL_PCK_THRESHOLDS,
     )
     summary.update({k: float(v.item()) * 100.0 for k, v in m.items()})
     return summary
 
 
 def aggregate_summaries(summaries) -> Dict[str, float]:
-    """Mean over per-point summaries — the benchmark table numbers."""
+    """Benchmark-table aggregation matching the reference's table3
+    (figures.py:617-640): per-point summaries are averaged PER VIDEO first
+    (pandas groupby 'iter' = idx.split('--')[0], NaN-skipping), then over
+    videos — videos with different point counts weigh equally."""
     keys = [
         "average_jaccard",
         "average_pts_within_thresh",
         "occlusion_accuracy",
         *[f"pts_within_{t}" for t in THRESHOLDS],
+        *[f"pts_within_{t}" for t in ADDITIONAL_PCK_THRESHOLDS],
         *[f"jaccard_{t}" for t in THRESHOLDS],
         "ade",
         "ade_visible",
     ]
+    groups: Dict[str, list] = {}
+    for s in summaries:
+        vid = str(s.get("idx", "")).split("--")[0]
+        groups.setdefault(vid, []).append(s)
     out = {}
     for k in keys:
-        vals = [s[k] for s in summaries if k in s and np.isfinite(s[k])]
-        out[k] = float(np.mean(vals)) if vals else float("nan")
+        per_video = []
+        for vid_summaries in groups.values():
+            vals = [
+                s[k] for s in vid_summaries if k in s and np.isfinite(s[k])
+            ]
+            if vals:
+                per_video.append(float(np.mean(vals)))
+        out[k] = float(np.mean(per_video)) if per_video else float("nan")
     return out

@@ -164,6 +164,7 @@ class TapVidDataset:
         self,
         results: List[Dict[str, np.ndarray]],
         output_dir: Optional[str] = None,
+        indices=None,
     ) -> Dict[str, float]:
         """Aggregate per-video results into benchmark numbers.
 
@@ -174,8 +175,10 @@ class TapVidDataset:
         """
         sy = self.eval_size[0] / self.input_size[0]
         sx = self.eval_size[1] / self.input_size[1]
+        if indices is None:
+            indices = range(len(results))
         summaries = []
-        for res in results:
+        for vid, res in zip(indices, results):
             gt = res["trajectories_gt"] * np.array([sx, sy], np.float32)
             pred = res["trajectories_pred"] * np.array([sx, sy], np.float32)
             P = gt.shape[1]
@@ -188,6 +191,9 @@ class TapVidDataset:
                         res["visibilities_pred"][:, n],
                         res["query_points"][n],
                         query_mode=self.query_mode,
+                        # reference idx convention: '{video}--{point}' — the
+                        # video prefix drives the per-video aggregation
+                        idx=f"{vid}--{n}",
                     )
                 )
         agg = aggregate_summaries(summaries)

@@ -140,6 +140,11 @@ def flow_guided_attention(
     sampled from the precomputed correlation map around (pixel + flow);
     values are sampled at the same points; top-k softmax propagates them.
     Returns (Hq, Wq, Cv).
+
+    REFERENCE QUIRK: the reference's `temperature` parameter is DEAD — its
+    body never divides by it (the caller pre-divides the corr volume,
+    mixed_tracker.py:450). The parameter is kept for signature parity but,
+    like the reference, unused.
     """
     from fgvc_tpu.ops.warp import bilinear_sample
 
@@ -168,7 +173,8 @@ def flow_guided_attention(
             lambda m, p: bilinear_sample(m[..., None], p)[..., 0]
         )(corr_f, pts_f)
 
-    aff = jax.vmap(sample_corr_frame)(corr_q, pts) / temperature  # (T, Q, P2)
+    del temperature  # dead in the reference too (see docstring)
+    aff = jax.vmap(sample_corr_frame)(corr_q, pts)  # (T, Q, P2)
 
     def sample_value_frame(v_f, pts_f):
         # nearest sampling of values at the window points (reference uses
@@ -188,5 +194,11 @@ def flow_guided_attention(
     w = jax.nn.softmax(w, axis=-1)
     v_flat = jnp.transpose(vals, (1, 0, 2, 3)).reshape(Q, T * P2, Cv)
     picked = jnp.take_along_axis(v_flat, idx[..., None], axis=1)
-    out = jnp.einsum("qk,qkc->qc", w, picked, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "qk,qkc->qc",
+        w,
+        picked,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(Hq, Wq, Cv)

@@ -127,8 +127,9 @@ def occlusion_masks(
         fw = forward_backward_absdiff(flow_fw, flow_bw, **kw)
         bw = forward_backward_absdiff(flow_bw, flow_fw, **kw)
     elif mode == "range_map":
-        fw = (compute_range_map(flow_bw) > 0.5).astype(flow_fw.dtype)
-        bw = (compute_range_map(flow_fw) > 0.5).astype(flow_fw.dtype)
+        # reference threshold is count >= 1 (occlusion_estimation.py:91)
+        fw = (compute_range_map(flow_bw) >= 1.0).astype(flow_fw.dtype)
+        bw = (compute_range_map(flow_fw) >= 1.0).astype(flow_fw.dtype)
     else:
         raise ValueError(f"unknown occlusion mode {mode}")
     return {"occ_fw": fw, "occ_bw": bw}

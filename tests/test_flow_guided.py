@@ -38,7 +38,7 @@ def test_flow_guided_attention_matches_oracle():
                                  int(np.clip(x, 0, W - 1))]
                             if inside
                             else 0.0
-                        ) / 0.1
+                        )  # temperature is dead in the reference (quirk)
                         v = (
                             value[t, int(np.clip(round(y), 0, H - 1)),
                                   int(np.clip(round(x), 0, W - 1))]
