@@ -55,6 +55,7 @@ struct ReadTask {
   int64_t stride;      // bytes between consecutive output slots
   int64_t next;        // shared work counter
   pthread_mutex_t mu;
+  int error;           // set when any index is invalid or oversized
 };
 
 void* read_worker(void* arg) {
@@ -65,8 +66,18 @@ void* read_worker(void* arg) {
     pthread_mutex_unlock(&t->mu);
     if (i >= t->n) break;
     int64_t rec = t->indices[i];
-    if (rec < 0 || rec >= static_cast<int64_t>(t->pack->n_records)) continue;
+    // invalid index or a record larger than the output slot is an ERROR —
+    // skipping silently would hand uninitialized memory to the caller and
+    // an oversized memcpy would overflow the destination buffer
+    if (rec < 0 || rec >= static_cast<int64_t>(t->pack->n_records)) {
+      t->error = 1;
+      continue;
+    }
     const RecordMeta& m = t->pack->index[rec];
+    if (static_cast<int64_t>(m.nbytes) > t->stride) {
+      t->error = 1;
+      continue;
+    }
     std::memcpy(t->dst + i * t->stride, t->pack->base + m.offset, m.nbytes);
   }
   return nullptr;
@@ -91,8 +102,22 @@ void* fgpack_open(const char* path) {
   if (std::memcmp(p->base, "FGPK", 4) != 0) {
     munmap(mem, p->size); ::close(p->fd); delete p; return nullptr;
   }
+  uint32_t version = 0;
+  std::memcpy(&version, p->base + 4, 4);
   std::memcpy(&p->n_records, p->base + 8, 8);
+  // reject unknown versions and files too short to hold the index —
+  // a truncated copy would otherwise SIGSEGV on the first record read
+  size_t index_end = 16 + p->n_records * sizeof(RecordMeta);
+  if (version != 1 || index_end > p->size) {
+    munmap(mem, p->size); ::close(p->fd); delete p; return nullptr;
+  }
   p->index = reinterpret_cast<const RecordMeta*>(p->base + 16);
+  for (uint64_t i = 0; i < p->n_records; ++i) {
+    const RecordMeta& m = p->index[i];
+    if (m.offset + m.nbytes > p->size) {
+      munmap(mem, p->size); ::close(p->fd); delete p; return nullptr;
+    }
+  }
   return p;
 }
 
@@ -118,16 +143,16 @@ int fgpack_read_batch(void* handle, const int64_t* indices, int64_t n,
   if (!p || n <= 0) return -1;
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 16) n_threads = 16;
-  ReadTask task{p, indices, n, dst, stride, 0, PTHREAD_MUTEX_INITIALIZER};
+  ReadTask task{p, indices, n, dst, stride, 0, PTHREAD_MUTEX_INITIALIZER, 0};
   if (n_threads == 1) {
     read_worker(&task);
-    return 0;
+    return task.error ? -2 : 0;
   }
   pthread_t threads[16];
   for (int i = 0; i < n_threads; ++i)
     pthread_create(&threads[i], nullptr, read_worker, &task);
   for (int i = 0; i < n_threads; ++i) pthread_join(threads[i], nullptr);
-  return 0;
+  return task.error ? -2 : 0;
 }
 
 // Hint the kernel to page-in a record range ahead of use.

@@ -34,16 +34,21 @@ from fgvc_tpu.core.train import MixedTrainer
 from fgvc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 
-def ema_update(teacher_vars, params_backbone, momentum: float = 0.999):
-    """teacher ← m·teacher + (1-m)·student (MoCo-style)."""
-    import jax.numpy as jnp
-
-    def mix(t, s):
-        return momentum * t + (1.0 - momentum) * s
-
-    new_params = jax.tree_util.tree_map(
-        mix, teacher_vars["params"], params_backbone
+@jax.jit
+def _ema_mix(teacher_params, student_params, momentum):
+    return jax.tree_util.tree_map(
+        lambda t, s: momentum * t + (1.0 - momentum) * s,
+        teacher_params,
+        student_params,
     )
+
+
+def ema_update(teacher_vars, params_backbone, momentum: float = 0.999):
+    """teacher ← m·teacher + (1-m)·student (MoCo-style).
+
+    Jitted: one fused dispatch instead of ~3 eager ops per parameter leaf
+    (each eager dispatch costs ~1.4 ms through the tunnel link)."""
+    new_params = _ema_mix(teacher_vars["params"], params_backbone, momentum)
     return {**teacher_vars, "params": new_params}
 
 
@@ -164,6 +169,7 @@ def train_model(
         )
 
     start = 0
+    best_metric = None
     if resume:
         path = latest_checkpoint(work_dir)
         if path:
@@ -171,6 +177,16 @@ def train_model(
                 path, state, teacher_vars
             )
             print(f"resumed from {path} (step {start})", flush=True)
+            # keep the best-checkpoint tracking across restarts: a fresh
+            # None would let the first (possibly worse) post-resume val
+            # overwrite the recorded best
+            best_path = os.path.join(work_dir, "best.json")
+            if os.path.exists(best_path):
+                with open(best_path) as f:
+                    meta = json.load(f)
+                if meta.get("metric") == val_metric_key:
+                    best_metric = meta.get("value")
+                    print(f"best so far: {best_metric}", flush=True)
 
     step_fn = trainer.make_train_step(tx)
     total = max_steps or cfg.max_epochs * steps_per_epoch
@@ -200,7 +216,6 @@ def train_model(
         except Exception:
             wandb_run = None
 
-    best_metric = None
     with mesh:
         state = replicate(state, mesh)
         teacher_vars = replicate(teacher_vars, mesh)

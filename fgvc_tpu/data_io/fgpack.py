@@ -143,7 +143,10 @@ class FgPack:
             n_threads,
         )
         if rc != 0:
-            raise IOError("fgpack_read_batch failed")
+            raise IOError(
+                "fgpack_read_batch failed (invalid index or a record not "
+                "matching the batch shape)"
+            )
         return list(dst)
 
     def __getitem__(self, i: int) -> np.ndarray:

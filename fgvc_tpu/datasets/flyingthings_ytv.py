@@ -29,10 +29,12 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from fgvc_tpu.config import TrainConfig
 
-LAB_MEAN = np.array([50.0, 0.0, 0.0], np.float32)
-LAB_STD = np.array([50.0, 127.0, 127.0], np.float32)
+# single source of truth for the Lab normalization (ops/color.py)
+from fgvc_tpu.ops.color import LAB_MEAN as _LAB_MEAN, LAB_STD as _LAB_STD
+
+LAB_MEAN = np.array(_LAB_MEAN, np.float32)
+LAB_STD = np.array(_LAB_STD, np.float32)
 
 
 # --------------------------------------------------------------------- #
@@ -229,8 +231,17 @@ class FlyingThingsYtvDataset:
                         dict(f0=frames[i], f1=frames[i + 1], fwd=fwd, bwd=bwd)
                     )
 
+        if not self.ytv_videos:
+            raise FileNotFoundError(
+                f"no YouTube-VOS videos found under {ytv_root!r}"
+            )
+        if not self.fly_pairs:
+            raise FileNotFoundError(
+                f"no FlyingThings flow pairs found under {flyingthings_root!r}"
+            )
+
     def __len__(self):
-        return max(len(self.ytv_videos), 1)
+        return len(self.ytv_videos)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         import cv2
@@ -249,10 +260,11 @@ class FlyingThingsYtvDataset:
         f1 = cv2.cvtColor(cv2.imread(pair["f1"]), cv2.COLOR_BGR2RGB)
         fwd = read_flow_pfm(pair["fwd"])
         bwd = read_flow_pfm(pair["bwd"])
-        # Reference convention: frame order swapped so the student's
-        # correlation maps frame2 → frame1; 'flow' maps frame-1 pixels to
-        # frame-0 positions (flyingthings_ytv_dataset.py:74-99).
-        imgs_sup, flow, flow_back = self.sup_pipe([f1, f0], bwd, fwd, rng)
+        # Reference convention (flyingthings_ytv_dataset.py:94-97,
+        # into_past branch): frames stacked [f1, f0] so the student's
+        # correlation maps frame2 → frame1; 'flow' = IntoFuture@f0 (maps
+        # stacked index 1 → index 0), 'flow_back' = IntoPast@f1.
+        imgs_sup, flow, flow_back = self.sup_pipe([f1, f0], fwd, bwd, rng)
 
         return {
             "imgs": imgs.astype(np.float32),

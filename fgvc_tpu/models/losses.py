@@ -110,10 +110,15 @@ def concentration_loss(att: jax.Array, height: int, width: int):
 
 
 def smoothness_loss(flow: jax.Array, weight=None):
-    """First-order flow smoothness (SmoothnessLoss)."""
+    """First-order flow smoothness (SmoothnessLoss).
+
+    `weight` masks per-pixel validity; it is cropped to the difference
+    shapes (weight[1:] for dy, weight[:, 1:] for dx)."""
     dy = jnp.abs(flow[..., 1:, :, :] - flow[..., :-1, :, :])
     dx = jnp.abs(flow[..., :, 1:, :] - flow[..., :, :-1, :])
-    return _weighted_mean(dy, None) + _weighted_mean(dx, None)
+    wy = weight[..., 1:, :] if weight is not None else None
+    wx = weight[..., :, 1:] if weight is not None else None
+    return _weighted_mean(dy, wy) + _weighted_mean(dx, wx)
 
 
 def bce_with_logits(logits, labels, weight=None):

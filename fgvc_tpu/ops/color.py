@@ -4,9 +4,10 @@ The reference preprocesses every frame with
 ``cv2.cvtColor(np.float32(img) / 255, cv2.COLOR_RGB2Lab)`` followed by
 mean/std normalization (RGB2LAB + Normalize pipeline steps,
 /root/reference/mmpt/datasets/pipelines/augmentation.py:1372).  OpenCV's
-float32 path applies NO sRGB gamma decoding: it maps linear-RGB-as-given
-through the D65 XYZ matrix and the CIE f(t) curve.  We reproduce that exactly
-so features match the reference bit-for-bit (verified against cv2 in tests).
+float32 path DOES apply sRGB gamma decoding (linearization) before the D65
+XYZ matrix and the CIE f(t) curve — see _srgb_to_linear below and the
+CLAUDE.md note.  We reproduce that exactly so features match the reference
+bit-for-bit (verified against cv2 in tests).
 
 Jittable; operates on channels-last float arrays scaled to [0, 1].
 """
