@@ -239,7 +239,7 @@ def eval_vos(
     """Masks are SCORED locally per rank and only the small per-video J&F
     stats cross processes — full-resolution mask stacks are hundreds of MB
     and would crawl through the host link if allgathered raw."""
-    from fgvc_tpu.core.metrics.vos import aggregate_jf, evaluate_video_jf
+    from fgvc_tpu.core.metrics.vos import aggregate_jf
 
     stats = []
     ids = _my_videos(len(dataset), rank, world, max_videos)
@@ -251,10 +251,9 @@ def eval_vos(
             tuple(sample["original_shape"]),
             sample["num_objects"],
         )
-        gt = dataset.load_gt_masks(i)
-        n = min(len(gt), len(masks))
-        num_obj = int(gt.max())
-        stats.append((i, evaluate_video_jf(gt[1 : n - 1], masks[1 : n - 1], num_obj)))
+        s = dataset.score_video(i, masks)
+        if s is not None:
+            stats.append((i, s))
     _, stats = _merge_shards(stats)
     results = aggregate_jf(stats)
     if output_dir:

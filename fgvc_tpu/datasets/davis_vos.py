@@ -32,6 +32,11 @@ class DavisVosDataset:
         self.root = root
         self.resolution = resolution
         self.input_size = tuple(input_size)
+        if split_list and not os.path.exists(split_list):
+            raise FileNotFoundError(
+                f"split list {split_list!r} does not exist — refusing to "
+                "silently fall back to the default split"
+            )
         if split_list and os.path.exists(split_list):
             if split_list.endswith(".json"):
                 with open(split_list) as f:
@@ -103,6 +108,23 @@ class DavisVosDataset:
         seq = self.sequences[idx]
         return np.stack([self.load_mask(p) for p in self._anno_paths(seq)])
 
+    def score_video(self, idx: int, pred: np.ndarray):
+        """Per-video DAVIS J&F stats — the single scoring implementation
+        shared by evaluate() and apis/test.eval_vos.
+
+        Protocol: drop frame 0 (given GT) and the LAST GT frame; when the
+        prediction stack is truncated mid-video, only the truncation point
+        bounds the range (the mid-video 'last' frame is still scored).
+        Returns None when no frames remain (e.g. 2-frame smoke runs).
+        """
+        gt = self.load_gt_masks(idx)
+        n = min(len(gt), len(pred))
+        num_obj = int(gt.max())
+        end = n - 1 if n == len(gt) else n
+        if end <= 1:
+            return None
+        return evaluate_video_jf(gt[1:end], pred[1:end], num_obj)
+
     def evaluate(
         self,
         pred_masks_list: Sequence[np.ndarray],  # per video (T, H0, W0) labels
@@ -116,14 +138,11 @@ class DavisVosDataset:
         """
         if indices is None:
             indices = range(len(pred_masks_list))
-        per_video = []
-        for idx, pred in zip(indices, pred_masks_list):
-            gt = self.load_gt_masks(idx)
-            n = min(len(gt), len(pred))
-            num_obj = int(gt.max())
-            per_video.append(
-                evaluate_video_jf(gt[1 : n - 1], pred[1 : n - 1], num_obj)
-            )
+        per_video = [
+            s
+            for idx, pred in zip(indices, pred_masks_list)
+            if (s := self.score_video(idx, pred)) is not None
+        ]
         results = aggregate_jf(per_video)
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)

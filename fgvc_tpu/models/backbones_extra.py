@@ -125,16 +125,19 @@ class SwinBlock(nn.Module):
         """x: (B, H, W, C), H/W divisible by window."""
         B, H, W, C = x.shape
         ws = self.window
+        # official Swin disables the shift when the map is no larger than
+        # one window (the roll would be a pure permutation)
+        shift = self.shift if min(H, W) > ws else 0
         y = nn.LayerNorm(name="norm1")(x)
-        if self.shift > 0:
-            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             # additive mask preventing attention across the wrapped border
             img_mask = jnp.zeros((H, W), jnp.int32)
             cnt = 0
-            for hs in (slice(0, -ws), slice(-ws, -self.shift),
-                       slice(-self.shift, None)):
-                for ws_ in (slice(0, -ws), slice(-ws, -self.shift),
-                            slice(-self.shift, None)):
+            for hs in (slice(0, -ws), slice(-ws, -shift),
+                       slice(-shift, None)):
+                for ws_ in (slice(0, -ws), slice(-ws, -shift),
+                            slice(-shift, None)):
                     img_mask = img_mask.at[hs, ws_].set(cnt)
                     cnt += 1
             mw = window_partition(img_mask[None, :, :, None], ws)[..., 0]
@@ -148,8 +151,8 @@ class SwinBlock(nn.Module):
             w, attn_mask
         )
         y = window_reverse(w, ws, H, W)
-        if self.shift > 0:
-            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = x + y
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, name="fc1")(y)
@@ -297,8 +300,11 @@ class ResNet18Pos(nn.Module):
             B, H, W, _ = x.shape
             pe = jax.image.resize(pos, (1, H, W, 64), method="bicubic")
             x = x + pe
+        # REFERENCE QUIRK: resnet_pos.py defines layer4 but its forward
+        # returns c4 (layer3 output) with layer4 commented out — only the
+        # first three stages run
         for li, (planes, stride, blocks) in enumerate(
-            zip((64, 128, 256, 256), (1, 2, 1, 1), (2, 2, 2, 2))
+            zip((64, 128, 256), (1, 2, 1), (2, 2, 2))
         ):
             for b in range(blocks):
                 x = MastResidualBlock(

@@ -94,9 +94,14 @@ class DinoAttention(nn.Module):
         qkv = nn.Dense(3 * D, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        a = jnp.einsum("bnhd,bmhd->bhnm", q, k) / jnp.sqrt(jnp.float32(hd))
+        # checkpoint-parity path: pin precision (CLAUDE.md parity rule)
+        a = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, precision=jax.lax.Precision.HIGHEST
+        ) / jnp.sqrt(jnp.float32(hd))
         a = jax.nn.softmax(a, axis=-1)
-        y = jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, D)
+        y = jnp.einsum(
+            "bhnm,bmhd->bnhd", a, v, precision=jax.lax.Precision.HIGHEST
+        ).reshape(B, N, D)
         return nn.Dense(D, name="proj")(y)
 
 
@@ -238,27 +243,32 @@ def convert_dino_vit_state_dict(state, prefix: str = ""):
 
 class Conv2Plus1D(nn.Module):
     """(2+1)-D factorized convolution (Conv2plus1d equivalent,
-    /root/reference/mmpt/models/common/conv2plus1d.py:6): a spatial k×k conv
-    followed by a temporal k conv over (B, T, H, W, C) clips."""
+    /root/reference/mmpt/models/common/conv2plus1d.py:6): a spatial k×k conv,
+    BatchNorm + ReLU, then a temporal kernel-3 conv over (B, T, H, W, C)
+    clips. Mid channels follow the R(2+1)D parameter-matching formula
+    mid = 3·C·out·k² / (C·k² + 3·out) (temporal kernel fixed at 3)."""
 
     features: int
     kernel: int = 3
     stride: int = 1
+    temporal_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, T, H, W, C = x.shape
-        k, s = self.kernel, self.stride
-        mid = (T * k * k * C * self.features) // (
-            k * k * C + k * self.features
+        k, s, kt = self.kernel, self.stride, self.temporal_kernel
+        mid = (kt * k * k * C * self.features) // (
+            k * k * C + kt * self.features
         )
         mid = max(mid, 1)
         y = nn.Conv(
             mid, (k, k), strides=(s, s), padding=k // 2, name="spatial"
         )(x.reshape(B * T, H, W, C))
+        y = nn.BatchNorm(use_running_average=not train, name="bn_s")(y)
+        y = nn.relu(y)
         Hs, Ws = y.shape[1:3]
         y = y.reshape(B, T, Hs, Ws, mid)
         y = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(B * Hs * Ws, T, mid)
-        y = nn.Conv(self.features, (k,), padding=k // 2, name="temporal")(y)
+        y = nn.Conv(self.features, (kt,), padding=kt // 2, name="temporal")(y)
         y = y.reshape(B, Hs, Ws, T, self.features)
         return jnp.transpose(y, (0, 3, 1, 2, 4))

@@ -100,7 +100,9 @@ def generate_scene(
     occluded = np.ones((P, T), bool)
 
     for t in range(T):
-        sy, sx = (bg_vel * t) % S
+        # integer pan so the rendered texture and the track/occlusion
+        # labels describe the exact same pixels
+        sy, sx = (np.floor(bg_vel * t)).astype(np.int64) % S
         frame = np.roll(bg, (int(sy), int(sx)), axis=(0, 1)).copy()
         owner = np.full((S, S), -1, np.int32)  # nearest object per pixel
 
@@ -153,6 +155,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--movi-root", default=None,
                    help="Kubric MOVi TFDS directory (external dependency)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="procedural scenes (the default behavior; flag "
+                        "accepted for explicitness)")
     args = p.parse_args()
 
     if args.movi_root:
