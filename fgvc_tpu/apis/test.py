@@ -275,11 +275,17 @@ def run_task(
     output_dir: Optional[str] = None,
     test_cfg: Optional[TestConfig] = None,
     model: str = "vanilla",
+    query_mode: str = "first",
 ) -> Dict[str, float]:
     """Mirror of `tools/test.py --task ...` (tools/test.py:121-198).
 
     model='raft' evaluates the RAFT flow-chaining baseline instead of the
     label-propagation tracker (point-tracking tasks only).
+
+    query_mode='strided' samples a query every 5 frames per track (reference
+    sample_queries_strided, tapvid_evaluation_datasets.py:283); frames
+    before a query stay zero-predicted, as in the reference's forward-only
+    propagation, and the metrics switch to the strided protocol.
     """
     from fgvc_tpu.parallel.dist import process_info
 
@@ -298,7 +304,7 @@ def run_task(
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 
-        ds = TapVidDataset(data_root, subset_name=task, query_mode="first")
+        ds = TapVidDataset(data_root, subset_name=task, query_mode=query_mode)
         return eval_tapvid(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
     if task == "jhmdb":
         from fgvc_tpu.datasets.jhmdb import JhmdbDataset

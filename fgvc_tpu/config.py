@@ -36,9 +36,19 @@ class TestConfig:
     temperature: float = 0.07
     neighbor_range: int = 30
     step: int = 512
+    # with_first=False drops frame 0 from the key window (key = the last
+    # `precede_frames` frames only, shorter in the first steps — reference
+    # vanilla_tracker.py:353-362 key_start:frame_idx without the frame-0
+    # concat). Implemented by invalidating the first key slot, which
+    # reproduces the reference's variable-length window exactly.
     with_first: bool = True
     with_first_neighbor: bool = True
     with_norm: bool = True
+    # hard_prop (VOS): each step's bank entry is argmax→one-hot re-encoded
+    # before re-use as a propagation value; the emitted per-frame decode
+    # still comes from the soft logits (reference vanilla_tracker.py:81,
+    # 762-765: only seg_bank gets the hard version).
+    hard_prop: bool = False
     sigma: float = 6.0  # gaussian query heatmap std-dev (full-res pixels)
     input_size: Tuple[int, int] = (256, 256)  # (H, W) network input
     # Static-shape bucketing (TPU): videos/points are padded up to multiples.
@@ -70,6 +80,15 @@ class TestConfig:
     # 'approx' = TPU PartialReduce approx_max_k + gather-free threshold
     # weights (fastest, per-element recall ≈ 0.95).
     topk_impl: str = "segmented"
+    # Coarse-to-fine two-stage inference (attention_impl='c2f'): the coarse
+    # stage runs on `c2f_scale`× average-pooled features, the fine stage
+    # gathers (2·radius_fine+1)² fine patches around each coarse argmax
+    # (reference masked_attention_efficient_c2f, local_attention.py:721-880
+    # — which has no in-tree consumer; this wiring is ours).
+    c2f_scale: int = 4
+    radius_fine: int = 12
+    # c2f query-pixel chunk (memory dial of the fine-stage gather)
+    c2f_step: int = 256
 
 
 DAVIS_TEST_CFG = TestConfig(step=512)

@@ -226,8 +226,18 @@ class TapVidDataset:
         with open(os.path.join(output_dir, "result.txt"), "a") as f:
             f.write(f"\n## TAP-Vid {self.subset_name}\n\n")
             f.write("| metric | value |\n|---|---|\n")
+            # the tracker predicts NO visibilities (constant False, like the
+            # reference's zero visibilities_pred) — occlusion-dependent
+            # metrics are degenerate and labeled so the table can't be
+            # misread as real occlusion estimates
+            degenerate = ("occlusion_accuracy", "average_jaccard")
             for k, v in agg.items():
-                f.write(f"| {k} | {v:.4f} |\n")
+                tag = (
+                    " (degenerate: visibility not predicted)"
+                    if k in degenerate or k.startswith("jaccard_")
+                    else ""
+                )
+                f.write(f"| {k}{tag} | {v:.4f} |\n")
 
         try:
             import matplotlib

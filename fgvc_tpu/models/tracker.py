@@ -229,8 +229,24 @@ class Tracker:
             idx = jnp.concatenate(
                 [jnp.zeros((1,), win_idx.dtype), jnp.clip(win_idx, 0, T - 1)]
             )
-            valid = jnp.concatenate([jnp.ones((1,), bool), win_valid])
+            # with_first=False: the frame-0 slot is invalidated, leaving only
+            # the preceding-frames window (reference key_start:frame_idx
+            # without the frame-0 concat, vanilla_tracker.py:353-362)
+            valid = jnp.concatenate(
+                [jnp.full((1,), cfg.with_first, bool), win_valid]
+            )
             return idx, valid
+
+        def bank_entry(seg_logit):
+            # hard_prop: the bank stores argmax→one-hot re-encoded maps;
+            # emitted decodes still use the soft logits (reference
+            # vanilla_tracker.py:762-765)
+            if not cfg.hard_prop:
+                return seg_logit
+            P = seg_logit.shape[-1]
+            return jax.nn.one_hot(
+                jnp.argmax(seg_logit, axis=-1), P, dtype=seg_logit.dtype
+            )
 
         # Per-tile slices straight from the full bank are fastest for small
         # banks but degrade badly on multi-GB banks (TPU gather locality);
@@ -263,7 +279,9 @@ class Tracker:
                 topk_impl=cfg.topk_impl,
                 frame_idx=fidx,
             )
-            new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
+            new_buf = jnp.concatenate(
+                [value_buf[1:], bank_entry(seg_logit)[None]], axis=0
+            )
             return new_buf, emit(seg_logit)
 
         def step_pallas(value_buf, t):
@@ -289,7 +307,9 @@ class Tracker:
                 compute_dtype=compute_dtype,
                 interpret=jax.default_backend() == "cpu",
             )
-            new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
+            new_buf = jnp.concatenate(
+                [value_buf[1:], bank_entry(seg_logit)[None]], axis=0
+            )
             return new_buf, emit(seg_logit)
 
         def step_legacy(value_buf, t):
@@ -301,7 +321,9 @@ class Tracker:
                 query, keys, values, key_valid, mask_shape,
                 pre_normalized=cfg.with_norm,
             )
-            new_buf = jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0)
+            new_buf = jnp.concatenate(
+                [value_buf[1:], bank_entry(seg_logit)[None]], axis=0
+            )
             return new_buf, emit(seg_logit)
 
         # Slots holding pre-video indices are masked via key_valid, so the
@@ -383,7 +405,7 @@ class Tracker:
                 q = l2_normalize(q)
             offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
             key_valid = jnp.concatenate(
-                [jnp.ones((1,), bool), t + offs >= 0]
+                [jnp.full((1,), cfg.with_first, bool), t + offs >= 0]
             )
             keys = jnp.concatenate([f0[None], feat_buf], axis=0)
             values = jnp.concatenate([first_value[None], value_buf], axis=0)
@@ -391,9 +413,16 @@ class Tracker:
                 q, keys, values, key_valid, mask_shape,
                 pre_normalized=cfg.with_norm,
             )
+            if cfg.hard_prop:
+                P = seg_logit.shape[-1]
+                entry = jax.nn.one_hot(
+                    jnp.argmax(seg_logit, axis=-1), P, dtype=seg_logit.dtype
+                )
+            else:
+                entry = seg_logit
             new_carry = (
                 jnp.concatenate([feat_buf[1:], q[None]], axis=0),
-                jnp.concatenate([value_buf[1:], seg_logit[None]], axis=0),
+                jnp.concatenate([value_buf[1:], entry[None]], axis=0),
             )
             return new_carry, emit(seg_logit)
 

@@ -97,25 +97,38 @@ def propagate_ref(
     radius=15,
     step=None,
     upsample_fn=None,
+    with_first=True,
+    hard_prop=False,
 ):
-    """Reference forward_test_main propagation loop (python, per-frame)."""
+    """Reference forward_test_main propagation loop (python, per-frame).
+
+    with_first=False drops the frame-0 key/value concat (the reference's
+    variable-length `key_start:frame_idx` window, vanilla_tracker.py:353).
+    hard_prop stores argmax→one-hot maps in the bank while returning the
+    SOFT logits per frame (vanilla_tracker.py:762-765).
+    """
     T, h, w, C = feats.shape
     P = init_maps.shape[0]
     feats_cf = np.transpose(feats, (0, 3, 1, 2))  # (T, C, h, w)
     bank = [init_maps.astype(np.float64)]         # list of (P, h, w)
-    decoded = []
+    soft = [init_maps.astype(np.float64)]
     for t in range(1, T):
         ks = max(0, t - precede_frames)
-        key_frames = [0] + list(range(ks, t))
+        key_frames = ([0] if with_first else []) + list(range(ks, t))
         key = np.stack([feats_cf[i] for i in key_frames], axis=1)  # (C,K,h,w)
-        val = np.stack([bank[0]] + [bank[i] for i in range(ks, t)], axis=1)
+        val = np.stack([bank[i] for i in key_frames], axis=1)
         seg = masked_attention_ref(
             feats_cf[t], key, val,
             radius=radius, temperature=temperature, topk=topk,
         )  # (P, h, w)
-        bank.append(seg)
-        decoded.append(seg)
-    return bank  # list of (P, h, w) logits, length T
+        if hard_prop:
+            win = np.argmax(seg, axis=0)  # first-max argmax, like jnp/torch
+            onehot = np.eye(P)[win].transpose(2, 0, 1)
+            bank.append(onehot)
+        else:
+            bank.append(seg)
+        soft.append(seg)
+    return soft  # list of (P, h, w) SOFT logits, length T
 
 
 def img2coord_np(maps, topk=5):

@@ -146,3 +146,25 @@ def test_tapvid_harness(fixtures):
     ds = TapVidDataset(fixtures["tapvid"], input_size=(24, 24))
     out = eval_tapvid(tr, ds)
     assert "average_pts_within_thresh" in out
+
+
+def test_tapvid_strided_query_mode(fixtures):
+    """--query-mode strided: multiple queries per track, strided protocol
+    metrics (reference sample_queries_strided,
+    tapvid_evaluation_datasets.py:283)."""
+    from fgvc_tpu.apis.test import build_tracker, eval_tapvid
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+    cfg = _small_cfg("davis", input_size=(24, 24))
+    tr = build_tracker(cfg)
+    ds = TapVidDataset(
+        fixtures["tapvid"], input_size=(24, 24), query_mode="strided"
+    )
+    first = TapVidDataset(fixtures["tapvid"], input_size=(24, 24))
+    # strided sampling yields at least as many queries as first-mode
+    assert (
+        ds[0]["query_points"].shape[0] >= first[0]["query_points"].shape[0]
+    )
+    out = eval_tapvid(tr, ds)
+    assert "average_pts_within_thresh" in out
+    assert np.isfinite(out["average_pts_within_thresh"])

@@ -205,3 +205,100 @@ def test_coarse_decode_close_to_upsample_decode():
     d = np.abs(outs["coarse"][1:] - outs["upsample"][1:])
     assert d.max() < 5.0  # within ~2 coarse pixels at stride 2
     assert np.median(d) < 2.0
+
+
+def test_with_first_false_drops_frame0_keys():
+    """with_first=False: the key window is only the preceding frames
+    (reference key_start:frame_idx without the frame-0 concat,
+    vanilla_tracker.py:353-362) — checked against the oracle loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.tracker import Tracker
+    from fgvc_tpu.ops.grids import draw_gaussian_maps, soft_argmax_topk
+
+    rng = np.random.default_rng(7)
+    T, h, w, C, P = 7, 12, 12, 8, 3
+    H, W = 24, 24
+    feats = rng.standard_normal((T, h, w, C)).astype(np.float32)
+    cfg = TestConfig(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        step=48, input_size=(H, W), frame_bucket=4, point_bucket=4,
+        attention_impl="tiled", tile=6, with_first=False,
+    )
+    pts = rng.uniform(2, 20, size=(P, 2)).astype(np.float32)
+    init_maps = np.asarray(
+        draw_gaussian_maps(jnp.asarray(pts), H, W, sigma=cfg.sigma, stride=2)
+    )
+    tracker = Tracker(lambda v, x: x, {}, cfg)
+    coords = np.asarray(
+        tracker._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
+    )
+    bank = propagate_ref(
+        feats, init_maps, (H, W),
+        precede_frames=cfg.precede_frames, topk=cfg.topk,
+        temperature=cfg.temperature, radius=cfg.neighbor_range // 2,
+        with_first=False,
+    )
+    for t in range(1, T):
+        up = jax.image.resize(
+            jnp.asarray(np.transpose(bank[t], (1, 2, 0))), (H, W, P),
+            "bilinear",
+        )
+        ref_coords = np.asarray(
+            soft_argmax_topk(jnp.transpose(up, (2, 0, 1)), topk=5)
+        )
+        np.testing.assert_allclose(coords[t], ref_coords, rtol=1e-3, atol=5e-3)
+
+    # sanity: differs from the with_first=True trajectory somewhere
+    cfg_wf = TestConfig(**{**cfg.__dict__, "with_first": True})
+    tr_wf = Tracker(lambda v, x: x, {}, cfg_wf)
+    coords_wf = np.asarray(
+        tr_wf._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
+    )
+    assert np.abs(coords - coords_wf).max() > 1e-3
+
+
+def test_hard_prop_matches_oracle():
+    """hard_prop: bank entries are argmax→one-hot, emitted frames decode
+    from the soft logits (vanilla_tracker.py:762-765)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.tracker import Tracker
+    from fgvc_tpu.ops.grids import soft_argmax_topk
+
+    rng = np.random.default_rng(8)
+    T, h, w, P = 6, 12, 12, 4
+    H, W = 24, 24
+    feats = rng.standard_normal((T, h, w, 8)).astype(np.float32)
+    # one-hot style init maps (VOS-like): P channels, argmax-partitioned
+    labels = rng.integers(0, P, size=(h, w))
+    init_maps = np.eye(P, dtype=np.float32)[labels].transpose(2, 0, 1)
+
+    cfg = TestConfig(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        step=48, input_size=(H, W), frame_bucket=4, point_bucket=4,
+        attention_impl="tiled", tile=6, hard_prop=True,
+    )
+    tracker = Tracker(lambda v, x: x, {}, cfg)
+    coords = np.asarray(
+        tracker._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
+    )
+    bank = propagate_ref(
+        feats, init_maps, (H, W),
+        precede_frames=cfg.precede_frames, topk=cfg.topk,
+        temperature=cfg.temperature, radius=cfg.neighbor_range // 2,
+        hard_prop=True,
+    )
+    for t in range(1, T):
+        up = jax.image.resize(
+            jnp.asarray(np.transpose(bank[t], (1, 2, 0))), (H, W, P),
+            "bilinear",
+        )
+        ref_coords = np.asarray(
+            soft_argmax_topk(jnp.transpose(up, (2, 0, 1)), topk=5)
+        )
+        np.testing.assert_allclose(coords[t], ref_coords, rtol=1e-3, atol=5e-3)

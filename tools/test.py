@@ -50,7 +50,32 @@ def main():
     parser.add_argument(
         "--attention-impl",
         default=None,
-        choices=["pallas", "tiled", "dense"],
+        choices=["pallas", "tiled", "dense", "c2f"],
+    )
+    parser.add_argument(
+        "--topk-impl",
+        default=None,
+        choices=["exact", "segmented", "certified", "approx"],
+        help="XLA-path top-k implementation (pallas path is always exact)",
+    )
+    parser.add_argument(
+        "--decode-impl",
+        default=None,
+        choices=["upsample", "window", "coarse"],
+        help="coordinate decode: full-res upsample (reference-exact), "
+             "windowed upsample around the peak, or feature-res soft-argmax",
+    )
+    parser.add_argument(
+        "--query-mode",
+        default="first",
+        choices=["first", "strided"],
+        help="TAP-Vid query sampling (strided = a query every 5 frames; "
+             "pre-query frames stay zero, as in forward-only propagation)",
+    )
+    parser.add_argument(
+        "--hard-prop",
+        action="store_true",
+        help="VOS: argmax->one-hot re-encode the value bank each step",
     )
     parser.add_argument(
         "--coordinator",
@@ -80,9 +105,17 @@ def main():
 
     from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
 
-    overrides = dict(matmul_precision=args.precision, save_mem=args.save_mem)
+    overrides = dict(
+        matmul_precision=args.precision,
+        save_mem=args.save_mem,
+        hard_prop=args.hard_prop,
+    )
     if args.attention_impl:
         overrides["attention_impl"] = args.attention_impl
+    if args.topk_impl:
+        overrides["topk_impl"] = args.topk_impl
+    if args.decode_impl:
+        overrides["decode_impl"] = args.decode_impl
     cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
     results = run_task(
         args.task,
@@ -93,6 +126,7 @@ def main():
         output_dir=args.output_dir,
         test_cfg=cfg,
         model=args.model,
+        query_mode=args.query_mode,
     )
     print(json.dumps(results, indent=2, default=float))
 
