@@ -87,8 +87,8 @@ def _make_kernel(
     FK = rows_pad * wpad       # keys per frame block (incl. masked pad)
     K = T * FK
 
-    def kernel(idx_ref, fb_ref, q_ref, k_hbm, v_hbm, out_ref,
-               aff_ref, k_buf, v_buf, sem):
+    def kernel(idx_ref, fb_ref, csum_ref, q_ref, k_hbm, v_hbm, out_ref,
+               aff_ref, cnt_ref, k_buf, v_buf, sem):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         r0 = ti * tile
@@ -190,38 +190,65 @@ def _make_kernel(
 
         # ---------- pass B: distinct-value top-k stats on the VPU ---------- #
         # Round r finds the largest affinity STRICTLY below round r-1's
-        # value and counts its occurrences — a read-only descending scan of
-        # the resident affinity (values per round strictly decrease, so at
-        # most k rounds cover >= k elements; ties inflate counts).
+        # value — a read-only descending scan of the resident affinity
+        # (values per round strictly decrease, so at most k rounds cover
+        # >= k elements).  Occurrence COUNTS only matter when the key
+        # window physically duplicates whole frames (t <= precede_frames:
+        # the first frame appears both as the always-on slot and inside the
+        # window, so its affinity columns repeat bit-exactly); otherwise
+        # f32 affinities of distinct keys tie with probability ~0 and every
+        # extracted value counts once.  The k counting passes therefore run
+        # only under a duplicate-frame predicate computed from the SMEM
+        # frame indices — pass B costs k VMEM passes in steady state
+        # instead of 2k (kernel roadmap: pass-B multi-extract lever).
         RUNW = 128
         assert topk <= RUNW, f"topk={topk} exceeds the {RUNW}-lane run buffer"
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, RUNW), 1)
 
-        def round_fn(r, carry):
-            vals, cnts, prev = carry
+        # duplicate-valid-frame predicate on the scalar core (T² compares).
+        # Two key frames collide when they share a bank index OR a full-frame
+        # feature checksum (csum_ref — catches physically identical frames:
+        # legacy-path gathers of the duplicated first frame, frozen video
+        # segments).  Frames masked by key_valid carry a NEG frame bias in
+        # fb_ref and cannot produce live ties.
+        has_dup = idx_ref[0] < 0  # False, right dtype
+        for i in range(T):
+            for j in range(i + 1, T):
+                pair_dup = (
+                    (idx_ref[i] == idx_ref[j])
+                    | (csum_ref[i] == csum_ref[j])
+                ) & (fb_ref[i] > NEG / 2) & (fb_ref[j] > NEG / 2)
+                has_dup = has_dup | pair_dup
+
+        vals = jnp.full((S, RUNW), NEG, jnp.float32)
+        prev = jnp.full((S, 1), jnp.float32(1e30))
+        for r in range(topk):
             a = aff_ref[:]
             m = jnp.max(jnp.where(a < prev, a, NEG), axis=-1, keepdims=True)
-            c = jnp.sum(
-                ((a >= m) & (a <= m)).astype(jnp.float32),
-                axis=-1,
-                keepdims=True,
-            )
-            c = jnp.where(m > NEG / 2, c, 0.0)
             vals = jnp.where(lane == r, m, vals)
-            cnts = jnp.where(lane == r, c, cnts)
-            return vals, cnts, m
+            prev = m
 
-        vals0 = jnp.full((S, RUNW), NEG, jnp.float32)
-        cnts0 = jnp.zeros((S, RUNW), jnp.float32)
-        prev0 = jnp.full((S, 1), jnp.float32(1e30))
-        vals, cnts, _ = jax.lax.fori_loop(
-            0, topk, round_fn, (vals0, cnts0, prev0), unroll=True
-        )
+        live = (lane < topk) & (vals > NEG / 2)
+        cnt_ref[:] = jnp.where(live, 1.0, 0.0)
+
+        @pl.when(has_dup)
+        def _count_rounds():
+            for r in range(topk):
+                a = aff_ref[:]
+                v = vals[:, r : r + 1]  # static slice (concrete r)
+                c = jnp.sum(
+                    ((a >= v) & (a <= v)).astype(jnp.float32),
+                    axis=-1,
+                    keepdims=True,
+                )
+                c = jnp.where(v > NEG / 2, c, 0.0)
+                cnt_ref[:] = jnp.where(lane == r, c, cnt_ref[:])
+
+        cnts = cnt_ref[:]
 
         # cumulative counts decide where the k-th value falls
         # (Mosaic has no cumsum primitive: inclusive prefix-sum over the 128
         # run lanes as a matmul against a lower-triangular ones matrix)
-        live = (lane < topk) & (vals > NEG / 2)
         cnts = jnp.where(live, cnts, 0.0)
         li = jax.lax.broadcasted_iota(jnp.int32, (RUNW, RUNW), 0)
         lj = jax.lax.broadcasted_iota(jnp.int32, (RUNW, RUNW), 1)
@@ -440,9 +467,14 @@ def fused_topk_attention_banked(
     mask_shape: str = "circle",
     compute_dtype: str = "float32",
     interpret: bool = False,
+    frame_csum: Optional[jax.Array] = None,  # (Tb,) per-bank-frame checksums
 ) -> jax.Array:
     """Bank-direct fused attention: keys are DMA'd per tile straight from the
-    pre-padded full bank at `frame_idx` — built for the propagation scan."""
+    pre-padded full bank at `frame_idx` — built for the propagation scan.
+
+    `frame_csum` (from bank_checksums, computed once per video) lets the
+    kernel detect physically identical key frames without re-reducing the
+    bank every step; omitted, it is derived from `kpad` on the fly."""
     T = value.shape[0]
     Cv = value.shape[-1]
     halo = int(radius)
@@ -467,14 +499,21 @@ def fused_topk_attention_banked(
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
         tile=tile, mask_shape=mask_shape, dtype=qpad.dtype,
-        mode=compute_dtype, interpret=interpret,
+        mode=compute_dtype, interpret=interpret, frame_csum=frame_csum,
     )
+
+
+def bank_checksums(bank_pad: jax.Array) -> jax.Array:
+    """(Tb,) per-frame feature checksums of a padded bank — computed ONCE
+    per video so every scan step's duplicate-frame detection is T scalar
+    loads instead of a full-bank reduction."""
+    return jnp.sum(bank_pad.astype(jnp.float32), axis=(1, 2, 3))
 
 
 def _call_fused_kernel(
     qpad, kpad, vpad, *, frame_idx, key_valid, H, W, T, Cv,
     radius, temperature, topk, tile, mask_shape, dtype, interpret,
-    mode: str = "float32",
+    mode: str = "float32", frame_csum=None,
 ):
     if mode == "high" and qpad.dtype != jnp.float32:
         # bf16 operands would make the lo terms exactly zero — the caller
@@ -499,6 +538,11 @@ def _call_fused_kernel(
         frame_idx = jnp.arange(T, dtype=jnp.int32)
     idx_smem = frame_idx.astype(jnp.int32)
     fb_smem = fb
+    if frame_csum is None:
+        # per-frame feature checksums: bit-identical frames (duplicated or
+        # frozen) collide and route pass B to the exact counting rounds
+        frame_csum = jnp.sum(kpad.astype(jnp.float32), axis=(1, 2, 3))
+    csum_smem = frame_csum[idx_smem].astype(jnp.float32)
 
     kernel, rows_pad, wpad, FK, K = _make_kernel(
         T=T,
@@ -524,6 +568,7 @@ def _call_fused_kernel(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (tile, tile, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
@@ -535,6 +580,7 @@ def _call_fused_kernel(
         ),
         scratch_shapes=[
             pltpu.VMEM((S, K), jnp.float32),
+            pltpu.VMEM((S, 128), jnp.float32),  # top-k counts (cnt_ref)
             pltpu.VMEM((2, rows_pad, wpad, C), dtype),
             pltpu.VMEM((2, rows_pad, wpad, Pp), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -543,6 +589,6 @@ def _call_fused_kernel(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idx_smem, fb_smem, qpad, kpad, vpad)
+    )(idx_smem, fb_smem, csum_smem, qpad, kpad, vpad)
 
     return out[:H, :W, :Cv]
