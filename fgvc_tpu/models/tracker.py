@@ -113,6 +113,53 @@ class Tracker:
         radius = cfg.neighbor_range // 2
         non_mask_len = 0 if cfg.with_first_neighbor else 1
         do_norm = cfg.with_norm and not pre_normalized
+        if cfg.attention_impl == "c2f" and non_mask_len == 0:
+            # coarse-to-fine two-stage inference (reference
+            # masked_attention_efficient_c2f, local_attention.py:721-880 —
+            # no in-tree consumer there; this wiring is the framework's):
+            # the coarse stage runs on c2f_scale×-average-pooled features
+            # (re-normalized — cosine similarity of pooled unit vectors),
+            # the fine stage on the backbone features; the coarse-grid
+            # output is bilinearly lifted back to feature resolution for
+            # the rolling value buffer.
+            from fgvc_tpu.ops.attention import l2_normalize
+            from fgvc_tpu.ops.c2f import masked_attention_c2f
+
+            s = cfg.c2f_scale
+            h, w = query.shape[:2]
+            qf, kf = query, keys
+            if do_norm:
+                qf = l2_normalize(qf)
+                kf = l2_normalize(kf)
+
+            def pool(x):
+                shp = x.shape
+                x = x.reshape(
+                    *shp[:-3], h // s, s, w // s, s, shp[-1]
+                )
+                return x.mean(axis=(-4, -2))
+
+            qc, kc = pool(qf), pool(kf)
+            if cfg.with_norm:
+                qc = l2_normalize(qc)
+                kc = l2_normalize(kc)
+            out_c = masked_attention_c2f(
+                qc,
+                kc,
+                qf,
+                kf,
+                values,
+                radius=float(radius) / s,
+                radius_fine=cfg.radius_fine,
+                temperature=cfg.temperature,
+                topk=cfg.topk,
+                normalize=False,
+                key_valid=key_valid,
+                step=cfg.c2f_step,
+            )
+            return jax.image.resize(
+                out_c, (h, w, values.shape[-1]), method="bilinear"
+            )
         if cfg.attention_impl == "pallas" and non_mask_len == 0:
             from fgvc_tpu.ops.pallas.topk_attention import (
                 fused_topk_attention,

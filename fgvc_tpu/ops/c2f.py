@@ -30,7 +30,9 @@ from fgvc_tpu.ops.attention import l2_normalize
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "radius_fine", "temperature", "topk", "normalize"),
+    static_argnames=(
+        "radius", "radius_fine", "temperature", "topk", "normalize", "step"
+    ),
 )
 def masked_attention_c2f(
     query: jax.Array,       # (hc, wc, C) coarse query features
@@ -44,8 +46,17 @@ def masked_attention_c2f(
     temperature: float = 1.0,
     topk: int = 10,
     normalize: bool = True,
+    key_valid: Optional[jax.Array] = None,  # (T,) bool frame validity
+    step: Optional[int] = None,  # query-pixel chunk (memory dial)
 ) -> jax.Array:
-    """Returns (hc, wc, Cv) propagated values on the coarse grid."""
+    """Returns (hc, wc, Cv) propagated values on the coarse grid.
+
+    `key_valid` masks whole key frames out of both stages (the propagation
+    scan's rolling window carries clipped pre-video slots).  `step` chunks
+    the query pixels like the reference's `step` loop
+    (local_attention.py:800) so the (T, Q, patch², C) fine gathers never
+    materialize for all queries at once.
+    """
     hc, wc, C = query.shape
     T = key.shape[0]
     hf, wf, Cf = query_fine.shape
@@ -60,6 +71,12 @@ def masked_attention_c2f(
         key = l2_normalize(key)
         query_fine = l2_normalize(query_fine)
         key_fine = l2_normalize(key_fine)
+
+    valid_bias = (
+        jnp.where(key_valid, 0.0, -jnp.inf)
+        if key_valid is not None
+        else jnp.zeros((T,), jnp.float32)
+    )
 
     # ---- coarse stage: per-frame argmax of masked affinity ----
     q = query.reshape(Q, C)
@@ -88,36 +105,55 @@ def masked_attention_c2f(
 
     kf_pad = jnp.pad(key_fine, ((0, 0), (rf, rf), (rf, rf), (0, 0)))
     v_pad = jnp.pad(value, ((0, 0), (rf, rf), (rf, rf), (0, 0)))
+    qf = query_fine[::scale, ::scale].reshape(Q, Cf)
 
-    py = by[:, :, None] + oy[None, None, :] + rf  # (T, Q, P2) padded coords
-    px = bx[:, :, None] + ox[None, None, :] + rf
+    def chunk_out(args):
+        py, px, qf_c = args  # (T, s, P2), (T, s, P2), (s, Cf)
 
-    def gather_patches(maps_pad):
-        # maps_pad (T, hf+2rf, wf+2rf, D) -> (T, Q, P2, D)
         def per_frame(m, y, x):
             return m[y, x]
 
-        return jax.vmap(per_frame)(maps_pad, py, px)
+        k_patch = jax.vmap(per_frame, (0, 0, 0))(kf_pad, py, px)
+        v_patch = jax.vmap(per_frame, (0, 0, 0))(v_pad, py, px)
+        s = qf_c.shape[0]
 
-    k_patch = gather_patches(kf_pad)    # (T, Q, P2, Cf)
-    v_patch = gather_patches(v_pad)     # (T, Q, P2, Cv)
+        fine_aff = jnp.einsum(
+            "qc,tqpc->tpq", qf_c, k_patch,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / temperature  # (T, P2, s)
+        fine_aff = fine_aff + valid_bias[:, None, None]
 
-    qf = query_fine[::scale, ::scale].reshape(Q, Cf)
-    fine_aff = jnp.einsum(
-        "qc,tqpc->tpq", qf, k_patch, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) / temperature  # (T, P2, Q)
+        fine_aff = fine_aff.reshape(T * P2, s).T  # (s, T*P2)
+        w, idx = jax.lax.top_k(fine_aff, topk)    # (s, k)
+        w = jax.nn.softmax(w, axis=-1)
 
-    fine_aff = fine_aff.reshape(T * P2, Q).T  # (Q, T*P2)
-    w, idx = jax.lax.top_k(fine_aff, topk)    # (Q, k)
-    w = jax.nn.softmax(w, axis=-1)
+        v_flat = jnp.transpose(v_patch, (1, 0, 2, 3)).reshape(s, T * P2, Cv)
+        vals = jnp.take_along_axis(v_flat, idx[..., None], axis=1)
+        return jnp.einsum(
+            "qk,qkc->qc", w, vals, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (s, Cv)
 
-    v_flat = jnp.transpose(v_patch, (1, 0, 2, 3)).reshape(Q, T * P2, Cv)
-    vals = jnp.take_along_axis(v_flat, idx[..., None], axis=1)  # (Q, k, Cv)
-    out = jnp.einsum(
-        "qk,qkc->qc", w, vals, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    py_all = by[:, :, None] + oy[None, None, :] + rf  # (T, Q, P2)
+    px_all = bx[:, :, None] + ox[None, None, :] + rf
+
+    if step is None or step >= Q:
+        out = chunk_out((py_all, px_all, qf))
+    else:
+        s = step
+        n = -(-Q // s)
+        pad = n * s - Q
+        py_c = jnp.pad(py_all, ((0, 0), (0, pad), (0, 0))).reshape(
+            T, n, s, P2
+        ).transpose(1, 0, 2, 3)
+        px_c = jnp.pad(px_all, ((0, 0), (0, pad), (0, 0))).reshape(
+            T, n, s, P2
+        ).transpose(1, 0, 2, 3)
+        qf_c = jnp.pad(qf, ((0, pad), (0, 0))).reshape(n, s, Cf)
+        out = jax.lax.map(chunk_out, (py_c, px_c, qf_c)).reshape(
+            n * s, Cv
+        )[:Q]
     return out.reshape(hc, wc, Cv)
 
 
