@@ -85,6 +85,12 @@ def main():
     )
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="LOGDIR",
+        help="write a jax.profiler device+host trace (TensorBoard/xprof)",
+    )
     args = parser.parse_args()
 
     import dataclasses
@@ -117,17 +123,20 @@ def main():
     if args.decode_impl:
         overrides["decode_impl"] = args.decode_impl
     cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
-    results = run_task(
-        args.task,
-        args.data_root,
-        checkpoint=args.checkpoint,
-        list_path=args.list_path,
-        max_videos=args.max_videos,
-        output_dir=args.output_dir,
-        test_cfg=cfg,
-        model=args.model,
-        query_mode=args.query_mode,
-    )
+    from fgvc_tpu.utils.profiler import trace
+
+    with trace(args.profile):
+        results = run_task(
+            args.task,
+            args.data_root,
+            checkpoint=args.checkpoint,
+            list_path=args.list_path,
+            max_videos=args.max_videos,
+            output_dir=args.output_dir,
+            test_cfg=cfg,
+            model=args.model,
+            query_mode=args.query_mode,
+        )
     print(json.dumps(results, indent=2, default=float))
 
 
