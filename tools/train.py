@@ -25,6 +25,14 @@ def main():
     parser.add_argument("--ytv-list", default=None)
     parser.add_argument("--work-dir", default="runs/mixed")
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument(
+        "--synthetic-mode",
+        default="noise",
+        choices=["noise", "structured"],
+        help="structured = textured scenes with exact flow (real "
+             "correspondence signal; convergence evidence), noise = iid "
+             "noise (pure smoke test)",
+    )
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--crop", type=int, default=256)
     parser.add_argument("--radius", type=int, default=24)
@@ -74,6 +82,7 @@ def main():
     from fgvc_tpu.config import TrainConfig
     from fgvc_tpu.datasets.flyingthings_ytv import (
         FlyingThingsYtvDataset,
+        StructuredSyntheticMixedDataset,
         SyntheticMixedDataset,
         make_batches,
     )
@@ -90,7 +99,12 @@ def main():
     )
 
     if args.synthetic or not args.ytv_root:
-        dataset = SyntheticMixedDataset(crop=args.crop, seed=args.seed)
+        ds_cls = (
+            StructuredSyntheticMixedDataset
+            if args.synthetic_mode == "structured"
+            else SyntheticMixedDataset
+        )
+        dataset = ds_cls(crop=args.crop, seed=args.seed)
     else:
         dataset = FlyingThingsYtvDataset(
             args.ytv_root,
