@@ -5,8 +5,11 @@ Measures the end-to-end hot path of TAP-Vid-DAVIS inference — ResNet-18-d1
 feature extraction + per-frame top-k masked-attention propagation at the
 reference's exact settings (256×256 input, stride-2 features, key window =
 first frame + 5 preceding, topk=10, temperature=0.07, neighbor_range=30;
-/root/reference/configs/eval/res18_d1_eval.py:12) on a synthetic DAVIS-shaped
-video.
+/root/reference/configs/eval/res18_d1_eval.py:12) on synthetic DAVIS-shaped
+videos, through the SAME pipelined video loop the eval harness runs
+(apis/test.py eval_tapvid — next video's upload + features overlap the
+current propagation).  `single_video_fps` is the unpipelined latency
+figure; `propagation_only_fps` isolates the scan.
 
 Baseline: the reference publishes no throughput (README only notes 4×A100-80G
 and the `step` memory/speed dial).  We estimate the reference GPU hot loop at
@@ -48,7 +51,10 @@ def main():
     T, P = 64, 32  # DAVIS-like video length / point count
     rng = np.random.default_rng(0)
     # raw uint8 RGB frames — preprocessing (RGB→Lab+normalize) runs on device
-    video = rng.integers(0, 256, size=(T, *cfg.input_size, 3), dtype=np.uint8)
+    videos = [
+        rng.integers(0, 256, size=(T, *cfg.input_size, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
     query_points = np.concatenate(
         [
             np.zeros((P, 1), np.float32),
@@ -58,21 +64,46 @@ def main():
     )
 
     # warmup (compile)
-    out = tracker.track_points(video, query_points)
+    out = tracker.track_points(videos[0], query_points)
     jax.block_until_ready(jnp.zeros(()))
 
+    # END-TO-END = the eval harness's pipelined video loop (apis/test.py
+    # eval_tapvid): video i+1's upload + feature extraction dispatch while
+    # video i propagates — this is the throughput `tools/test.py` delivers
+    # on a dataset.  Measured over 4 videos, median of 5 sweeps.
+    def pipelined_sweep():
+        t0 = time.perf_counter()
+        nxt = tracker._features_padded(videos[0])
+        for i, v in enumerate(videos):
+            feats = nxt
+            nxt = (
+                tracker._features_padded(videos[i + 1])
+                if i + 1 < len(videos)
+                else None
+            )
+            out = tracker.track_points(v, query_points, feats=feats)
+        return out, len(videos) * (T - 1) / (time.perf_counter() - t0)
+
+    out, _ = pipelined_sweep()  # warm the prefetch path
     runs = []
     for _ in range(5):
-        t0 = time.perf_counter()
-        out = tracker.track_points(video, query_points)
-        runs.append((T - 1) / (time.perf_counter() - t0))
+        out, f = pipelined_sweep()
+        runs.append(f)
     fps = float(np.median(runs))
+
+    # single-video latency figure (no cross-video pipelining)
+    sv_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = tracker.track_points(videos[0], query_points)
+        sv_runs.append((T - 1) / (time.perf_counter() - t0))
+    sv_fps = float(np.median(sv_runs))
 
     assert np.all(np.isfinite(out["trajectories"])), "non-finite trajectories"
 
     # propagation-only: features precomputed, single query group, no host
     # transfers in the loop — isolates the attention+decode scan
-    feats = tracker._features_padded(video)
+    feats = tracker._features_padded(videos[0])
     pts = jnp.asarray(query_points[:, 1:])
     valid = jnp.ones((query_points.shape[0],), bool)
     args = (feats, jnp.int32(0), pts, valid)
@@ -93,6 +124,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
                 "propagation_only_fps": round(prop_fps, 2),
+                "single_video_fps": round(sv_fps, 2),
                 "end_to_end_runs": [round(r, 2) for r in runs],
             }
         )
