@@ -36,16 +36,25 @@ REFERENCE_FPS_ESTIMATE = 20.0
 
 
 def main():
+    import dataclasses
+
     from fgvc_tpu.config import DAVIS_TEST_CFG
     from fgvc_tpu.models.resnet import init_resnet_params, resnet18_d1
     from fgvc_tpu.models.tracker import Tracker
 
-    cfg = DAVIS_TEST_CFG
+    # Headline mode: pallas bf16 affinity — promoted by the synthetic
+    # accuracy study (docs/precision_study.md: Δ<D −0.11, bar 0.5); the
+    # f32-exact parity mode is measured alongside (exact_mode_fps).
+    cfg = dataclasses.replace(DAVIS_TEST_CFG, matmul_precision="default")
+    cfg_exact = DAVIS_TEST_CFG
     model = resnet18_d1()
     variables = init_resnet_params(model, jax.random.PRNGKey(0), cfg.input_size)
 
     tracker = Tracker(
         lambda v, x: model.apply(v, x, train=False), variables, cfg
+    )
+    tracker_exact = Tracker(
+        lambda v, x: model.apply(v, x, train=False), variables, cfg_exact
     )
 
     T, P = 64, 32  # DAVIS-like video length / point count
@@ -101,6 +110,23 @@ def main():
 
     assert np.all(np.isfinite(out["trajectories"])), "non-finite trajectories"
 
+    # f32-exact parity mode, pipelined (same loop as the headline)
+    def pipelined_exact():
+        t0 = time.perf_counter()
+        nxt = tracker_exact._features_padded(videos[0])
+        for i, v in enumerate(videos):
+            feats = nxt
+            nxt = (
+                tracker_exact._features_padded(videos[i + 1])
+                if i + 1 < len(videos)
+                else None
+            )
+            tracker_exact.track_points(v, query_points, feats=feats)
+        return len(videos) * (T - 1) / (time.perf_counter() - t0)
+
+    pipelined_exact()  # warm
+    exact_fps = float(np.median([pipelined_exact() for _ in range(3)]))
+
     # propagation-only: features precomputed, single query group, no host
     # transfers in the loop — isolates the attention+decode scan
     feats = tracker._features_padded(videos[0])
@@ -125,6 +151,7 @@ def main():
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
                 "propagation_only_fps": round(prop_fps, 2),
                 "single_video_fps": round(sv_fps, 2),
+                "exact_mode_fps": round(exact_fps, 2),
                 "end_to_end_runs": [round(r, 2) for r in runs],
             }
         )
