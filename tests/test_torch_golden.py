@@ -50,6 +50,7 @@ def ref_mods():
 def _reference_track_points(
     feats, video_hw, query_points, *, precede, topk, temperature,
     neighbor_range, sigma, step, local_attention, affinity_utils,
+    with_first=True, kernel="v1",
 ):
     """The forward_test_main loop (vanilla_tracker.py:305-412) in torch,
     around the reference's real masked_attention_efficient."""
@@ -89,23 +90,39 @@ def _reference_track_points(
         seg_preds = [g]
         for fi in range(1, L):
             ks = max(0, fi - precede)
-            key = torch.cat(
-                [fg[:, 0:1], fg[:, ks:fi]], dim=1
-            )[None]  # (1, C, K, h, w) — with_first=True
-            val = torch.stack(
-                [seg_bank[0]] + seg_bank[ks:fi], dim=1
-            )[None]  # (1, Pg, K, h, w)
-            seg_logit = local_attention.masked_attention_efficient(
-                fg[:, fi][None],
-                key,
-                val,
-                mask,
-                temperature=temperature,
-                topk=topk,
-                step=step,
-                normalize=True,
-                non_mask_len=0,
-            )[0]  # (Pg, h, w)
+            if with_first:
+                key = torch.cat([fg[:, 0:1], fg[:, ks:fi]], dim=1)[None]
+                val = torch.stack(
+                    [seg_bank[0]] + seg_bank[ks:fi], dim=1
+                )[None]  # (1, Pg, K, h, w)
+            else:  # key_start:frame_idx window only (vanilla_tracker.py:353)
+                key = fg[:, ks:fi][None]
+                val = torch.stack(seg_bank[ks:fi], dim=1)[None]
+            if kernel == "v2":
+                # v2 computes the circular mask on the fly per chunk
+                seg_logit = local_attention.masked_attention_efficient_v2(
+                    fg[:, fi][None],
+                    key,
+                    val,
+                    neighbor_range // 2,
+                    temperature=temperature,
+                    topk=topk,
+                    step=step,
+                    normalize=True,
+                    non_mask_len=0,
+                )[0]
+            else:
+                seg_logit = local_attention.masked_attention_efficient(
+                    fg[:, fi][None],
+                    key,
+                    val,
+                    mask,
+                    temperature=temperature,
+                    topk=topk,
+                    step=step,
+                    normalize=True,
+                    non_mask_len=0,
+                )[0]  # (Pg, h, w)
             seg_bank.append(seg_logit)
             seg_preds.append(
                 F.interpolate(
@@ -158,6 +175,51 @@ def test_track_points_matches_reference_torch(ref_mods, impl):
         temperature=cfg.temperature, neighbor_range=cfg.neighbor_range,
         sigma=cfg.sigma, step=cfg.step,
         local_attention=local_attention, affinity_utils=affinity_utils,
+    )
+    np.testing.assert_allclose(
+        out["trajectories"], ref, rtol=1e-3, atol=5e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "with_first,kernel",
+    [(False, "v1"), (True, "v2")],
+)
+def test_track_points_reference_variants(ref_mods, with_first, kernel):
+    """Reference-kernel goldens for the with_first=False window and the
+    test_mode='v2' on-the-fly-mask kernel (vanilla_tracker.py:353,380)."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.tracker import Tracker
+
+    local_attention, affinity_utils = ref_mods
+    rng = np.random.default_rng(13)
+    T, h, w, C = 6, 12, 12, 8
+    H, W = 24, 24
+    feats = rng.standard_normal((T, h, w, C)).astype(np.float32)
+    video = rng.integers(0, 255, (T, H, W, 3)).astype(np.float32)
+    query_points = np.array([[0, 7.0, 9.0], [0, 16.0, 13.0]], np.float32)
+
+    cfg = TestConfig(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        step=48, input_size=(H, W), frame_bucket=4, point_bucket=4,
+        attention_impl="tiled", tile=6, with_first=with_first,
+    )
+    tracker = Tracker(lambda v, x: x, {}, cfg)
+    t_pad = -(-T // cfg.frame_bucket) * cfg.frame_bucket + cfg.frame_bucket
+    feats_padded = jnp.pad(
+        jnp.asarray(feats), ((0, t_pad - T), (0, 0), (0, 0), (0, 0))
+    )
+    out = tracker.track_points(video, query_points, feats=feats_padded)
+
+    ref = _reference_track_points(
+        feats, (H, W), query_points,
+        precede=cfg.precede_frames, topk=cfg.topk,
+        temperature=cfg.temperature, neighbor_range=cfg.neighbor_range,
+        sigma=cfg.sigma, step=cfg.step,
+        local_attention=local_attention, affinity_utils=affinity_utils,
+        with_first=with_first, kernel=kernel,
     )
     np.testing.assert_allclose(
         out["trajectories"], ref, rtol=1e-3, atol=5e-3
