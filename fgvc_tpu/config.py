@@ -78,8 +78,11 @@ class TestConfig:
     # thresholded value matmul (identical results except on exact affinity
     # ties at the k-th value — measure-zero for real features);
     # 'approx' = TPU PartialReduce approx_max_k + gather-free threshold
-    # weights (fastest, per-element recall ≈ 0.95).
-    topk_impl: str = "segmented"
+    # weights (DISQUALIFIED by docs/precision_study.md: −2.4 <D; kept as an
+    # explicitly-requested mode only).  'exact' is the measured-fastest
+    # exact XLA path on TPU (segmented's prefilter gather costs more than
+    # it saves — docs/kernel_roadmap.md dead ends).
+    topk_impl: str = "exact"
     # Coarse-to-fine two-stage inference (attention_impl='c2f'): the coarse
     # stage runs on `c2f_scale`× average-pooled features, the fine stage
     # gathers (2·radius_fine+1)² fine patches around each coarse argmax

@@ -49,6 +49,12 @@ def main():
     parser.add_argument("--val-videos", type=int, default=4)
     parser.add_argument("--synthetic-val", action="store_true",
                         help="mid-train eval smoke on synthetic shards")
+    parser.add_argument("--l1-weight", type=float, default=None,
+                        help="reconstruction loss weight (config l1_loss)")
+    parser.add_argument("--sup-weight", type=float, default=None,
+                        help="distillation loss weight (config sup_loss)")
+    parser.add_argument("--corr-da-weight", type=float, default=None,
+                        help="adversarial corr-alignment weight")
     parser.add_argument("--grad-clip", type=float, default=None,
                         help="global-norm gradient clipping")
     parser.add_argument("--loss-scale", type=float, default=1.0)
@@ -87,6 +93,15 @@ def main():
         make_batches,
     )
 
+    weight_overrides = {
+        k: v
+        for k, v in (
+            ("loss_weight_l1", args.l1_weight),
+            ("loss_weight_sup", args.sup_weight),
+            ("loss_weight_corr_da", args.corr_da_weight),
+        )
+        if v is not None
+    }
     cfg = TrainConfig(
         radius=args.radius,
         crop_size=args.crop,
@@ -96,6 +111,7 @@ def main():
         grad_clip=args.grad_clip,
         loss_scale=args.loss_scale,
         remat=args.remat,
+        **weight_overrides,
     )
 
     if args.synthetic or not args.ytv_root:
