@@ -238,7 +238,6 @@ class Tracker:
 
         if pallas_bank:
             from fgvc_tpu.ops.pallas.topk_attention import (
-                bank_checksums,
                 fused_topk_attention_banked,
                 pad_key_bank_pallas,
                 pallas_compute_dtype,
@@ -253,7 +252,6 @@ class Tracker:
                 normalize=cfg.with_norm,
                 compute_dtype=compute_dtype,
             )
-            bank_csum = bank_checksums(bank_pad)
             Hp = _bucket(h, p_tile)
             Wp = _bucket(w, p_tile)
         elif bank_mode:
@@ -355,7 +353,6 @@ class Tracker:
                 mask_shape=mask_shape,
                 compute_dtype=compute_dtype,
                 interpret=jax.default_backend() == "cpu",
-                frame_csum=bank_csum,
             )
             new_buf = jnp.concatenate(
                 [value_buf[1:], bank_entry(seg_logit)[None]], axis=0

@@ -87,8 +87,8 @@ def _make_kernel(
     FK = rows_pad * wpad       # keys per frame block (incl. masked pad)
     K = T * FK
 
-    def kernel(idx_ref, fb_ref, csum_ref, q_ref, k_hbm, v_hbm, out_ref,
-               aff_ref, cnt_ref, k_buf, v_buf, sem):
+    def kernel(idx_ref, fb_ref, q_ref, k_hbm, v_hbm, out_ref,
+               aff_ref, k_buf, v_buf, sem):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         r0 = ti * tile
@@ -192,103 +192,84 @@ def _make_kernel(
         # Round r finds the largest affinity STRICTLY below round r-1's
         # value — a read-only descending scan of the resident affinity
         # (values per round strictly decrease, so at most k rounds cover
-        # >= k elements).  Occurrence COUNTS only matter when the key
-        # window physically duplicates whole frames (t <= precede_frames:
-        # the first frame appears both as the always-on slot and inside the
-        # window, so its affinity columns repeat bit-exactly); otherwise
-        # f32 affinities of distinct keys tie with probability ~0 and every
-        # extracted value counts once.  The k counting passes therefore run
-        # only under a duplicate-frame predicate computed from the SMEM
-        # frame indices — pass B costs k VMEM passes in steady state
-        # instead of 2k (kernel roadmap: pass-B multi-extract lever).
+        # >= k elements).  The SAME read also produces the cumulative
+        # occurrence count count_ge(v_{r-1}) of the PREVIOUS round's value:
+        # the two reductions are data-independent, so they share one VMEM
+        # traversal instead of the old dependent max-then-count pair —
+        # pass B is ~k+1 streamed passes, and exact for EVERY tie
+        # structure (duplicated first frames, frozen videos, flat regions
+        # tying within a frame, bf16 value collisions), with no
+        # duplicate-detection predicates.
         RUNW = 128
         assert topk <= RUNW, f"topk={topk} exceeds the {RUNW}-lane run buffer"
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, RUNW), 1)
 
-        # duplicate-valid-frame predicate on the scalar core (T² compares).
-        # Two key frames collide when they share a bank index OR a full-frame
-        # feature checksum (csum_ref — catches physically identical frames:
-        # legacy-path gathers of the duplicated first frame, frozen video
-        # segments).  Frames masked by key_valid carry a NEG frame bias in
-        # fb_ref and cannot produce live ties.
-        has_dup = idx_ref[0] < 0  # False, right dtype
-        for i in range(T):
-            for j in range(i + 1, T):
-                pair_dup = (
-                    (idx_ref[i] == idx_ref[j])
-                    | (csum_ref[i] == csum_ref[j])
-                ) & (fb_ref[i] > NEG / 2) & (fb_ref[j] > NEG / 2)
-                has_dup = has_dup | pair_dup
-
         vals = jnp.full((S, RUNW), NEG, jnp.float32)
+        cges = jnp.zeros((S, RUNW), jnp.float32)  # cge_i = #(a >= v_i)
         prev = jnp.full((S, 1), jnp.float32(1e30))
-        for r in range(topk):
+        for r in range(topk + 1):
             a = aff_ref[:]
-            m = jnp.max(jnp.where(a < prev, a, NEG), axis=-1, keepdims=True)
-            vals = jnp.where(lane == r, m, vals)
-            prev = m
+            if r > 0:
+                cge = jnp.sum(
+                    (a >= prev).astype(jnp.float32), axis=-1, keepdims=True
+                )
+                cges = jnp.where(lane == r - 1, cge, cges)
+            if r < topk:
+                m = jnp.max(
+                    jnp.where(a < prev, a, NEG), axis=-1, keepdims=True
+                )
+                vals = jnp.where(lane == r, m, vals)
+                prev = m
 
         live = (lane < topk) & (vals > NEG / 2)
-        cnt_ref[:] = jnp.where(live, 1.0, 0.0)
+        mmax = vals[:, 0:1]
 
-        @pl.when(has_dup)
-        def _count_rounds():
-            for r in range(topk):
-                a = aff_ref[:]
-                v = vals[:, r : r + 1]  # static slice (concrete r)
-                c = jnp.sum(
-                    ((a >= v) & (a <= v)).astype(jnp.float32),
-                    axis=-1,
-                    keepdims=True,
-                )
-                c = jnp.where(v > NEG / 2, c, 0.0)
-                cnt_ref[:] = jnp.where(lane == r, c, cnt_ref[:])
-
-        cnts = cnt_ref[:]
-
-        # cumulative counts decide where the k-th value falls
-        # (Mosaic has no cumsum primitive: inclusive prefix-sum over the 128
-        # run lanes as a matmul against a lower-triangular ones matrix)
-        cnts = jnp.where(live, cnts, 0.0)
+        # per-distinct counts from successive cumulative counts
+        # (lane shift via a sub-diagonal matmul — Mosaic has no roll)
         li = jax.lax.broadcasted_iota(jnp.int32, (RUNW, RUNW), 0)
         lj = jax.lax.broadcasted_iota(jnp.int32, (RUNW, RUNW), 1)
-        lower_tri = (li <= lj).astype(jnp.float32)
-        cum = jax.lax.dot_general(
-            cnts,
-            lower_tri,
+        shift = (li == lj - 1).astype(jnp.float32)
+        cge_prev = jax.lax.dot_general(
+            jnp.where(live, cges, 0.0),
+            shift,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
-        prev = cum - cnts
-        # selected count per distinct value: full below the boundary,
-        # partial at the boundary round
-        sel = jnp.clip(jnp.float32(topk) - prev, 0.0, cnts)
-        taking = live & (sel > 0.0)
+        )  # cge_{i-1} at lane i (0 at lane 0)
+        cnts = jnp.maximum(cges - cge_prev, 0.0)
 
-        mmax = vals[:, 0:1]
-        # threshold = last distinct value with sel > 0
-        thresh = jnp.min(
-            jnp.where(taking, vals, jnp.inf), axis=-1, keepdims=True
-        )
+        # threshold = k-th-largest ELEMENT: the first distinct value whose
+        # cumulative count reaches topk; underfull rows (fewer live keys
+        # than topk) fall back to their last live value — every tied key is
+        # then taken exactly once (XLA tiled kernel semantics)
+        # candidates are a SUFFIX of lanes (cges grow as vals fall): the
+        # first lane reaching topk holds the LARGEST such value
+        cand = live & (cges >= jnp.float32(topk))
+        t1 = jnp.max(jnp.where(cand, vals, -jnp.inf), axis=-1, keepdims=True)
+        t2 = jnp.min(jnp.where(live, vals, jnp.inf), axis=-1, keepdims=True)
+        thresh = jnp.where(jnp.isfinite(t1), t1, t2)
         thresh = jnp.where(jnp.isfinite(thresh), thresh, NEG)
-        e_vals = jnp.exp(jnp.minimum(vals - mmax, 0.0))
-        z = jnp.sum(jnp.where(taking, e_vals * sel, 0.0), -1, keepdims=True)
-        z = jnp.maximum(z, 1e-30)
-        # fractional share for ties exactly at the threshold
+
+        # exact selection stats at the threshold lane (vals strictly
+        # decrease across live lanes, so the lane match is unique)
+        at_lane = live & (vals >= thresh) & (vals <= thresh)
         n_above = jnp.sum(
-            jnp.where(taking & (vals > thresh), cnts, 0.0), -1, keepdims=True
+            jnp.where(at_lane, cge_prev, 0.0), -1, keepdims=True
         )
-        cnt_at_total = jnp.sum(
-            jnp.where(live & (vals <= thresh) & (vals >= thresh), cnts, 0.0),
+        cnt_at = jnp.sum(jnp.where(at_lane, cnts, 0.0), -1, keepdims=True)
+        frac = jnp.clip(jnp.float32(topk) - n_above, 0.0, cnt_at) / (
+            jnp.maximum(cnt_at, 1.0)
+        )
+
+        e_vals = jnp.exp(jnp.minimum(vals - mmax, 0.0))
+        z = jnp.sum(
+            jnp.where(live & (vals > thresh), e_vals * cnts, 0.0),
             -1,
             keepdims=True,
-        )
-        # clamp: when fewer than topk valid keys exist, every tied key is
-        # taken exactly once (matches the XLA tiled kernel's semantics)
-        frac = jnp.clip(
-            jnp.float32(topk) - n_above, 0.0, cnt_at_total
-        ) / jnp.maximum(cnt_at_total, 1.0)
+        ) + frac * cnt_at * jnp.exp(
+            jnp.minimum(thresh - mmax, 0.0)
+        ) * jnp.clip(jnp.sign(thresh - NEG / 2), 0.0, 1.0)
+        z = jnp.maximum(z, 1e-30)
 
         # ---------- pass C: value accumulation from resident affinity ------ #
         v_dma(0, 0).start()
@@ -467,14 +448,9 @@ def fused_topk_attention_banked(
     mask_shape: str = "circle",
     compute_dtype: str = "float32",
     interpret: bool = False,
-    frame_csum: Optional[jax.Array] = None,  # (Tb,) per-bank-frame checksums
 ) -> jax.Array:
     """Bank-direct fused attention: keys are DMA'd per tile straight from the
-    pre-padded full bank at `frame_idx` — built for the propagation scan.
-
-    `frame_csum` (from bank_checksums, computed once per video) lets the
-    kernel detect physically identical key frames without re-reducing the
-    bank every step; omitted, it is derived from `kpad` on the fly."""
+    pre-padded full bank at `frame_idx` — built for the propagation scan."""
     T = value.shape[0]
     Cv = value.shape[-1]
     halo = int(radius)
@@ -499,21 +475,14 @@ def fused_topk_attention_banked(
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
         tile=tile, mask_shape=mask_shape, dtype=qpad.dtype,
-        mode=compute_dtype, interpret=interpret, frame_csum=frame_csum,
+        mode=compute_dtype, interpret=interpret,
     )
-
-
-def bank_checksums(bank_pad: jax.Array) -> jax.Array:
-    """(Tb,) per-frame feature checksums of a padded bank — computed ONCE
-    per video so every scan step's duplicate-frame detection is T scalar
-    loads instead of a full-bank reduction."""
-    return jnp.sum(bank_pad.astype(jnp.float32), axis=(1, 2, 3))
 
 
 def _call_fused_kernel(
     qpad, kpad, vpad, *, frame_idx, key_valid, H, W, T, Cv,
     radius, temperature, topk, tile, mask_shape, dtype, interpret,
-    mode: str = "float32", frame_csum=None,
+    mode: str = "float32",
 ):
     if mode == "high" and qpad.dtype != jnp.float32:
         # bf16 operands would make the lo terms exactly zero — the caller
@@ -538,11 +507,6 @@ def _call_fused_kernel(
         frame_idx = jnp.arange(T, dtype=jnp.int32)
     idx_smem = frame_idx.astype(jnp.int32)
     fb_smem = fb
-    if frame_csum is None:
-        # per-frame feature checksums: bit-identical frames (duplicated or
-        # frozen) collide and route pass B to the exact counting rounds
-        frame_csum = jnp.sum(kpad.astype(jnp.float32), axis=(1, 2, 3))
-    csum_smem = frame_csum[idx_smem].astype(jnp.float32)
 
     kernel, rows_pad, wpad, FK, K = _make_kernel(
         T=T,
@@ -568,7 +532,6 @@ def _call_fused_kernel(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (tile, tile, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
@@ -580,7 +543,6 @@ def _call_fused_kernel(
         ),
         scratch_shapes=[
             pltpu.VMEM((S, K), jnp.float32),
-            pltpu.VMEM((S, 128), jnp.float32),  # top-k counts (cnt_ref)
             pltpu.VMEM((2, rows_pad, wpad, C), dtype),
             pltpu.VMEM((2, rows_pad, wpad, Pp), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -589,6 +551,6 @@ def _call_fused_kernel(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idx_smem, fb_smem, csum_smem, qpad, kpad, vpad)
+    )(idx_smem, fb_smem, qpad, kpad, vpad)
 
     return out[:H, :W, :Cv]
