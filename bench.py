@@ -149,6 +149,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+                "headline_mode": "pallas-bf16 (study-promoted; "
+                "docs/precision_study.md; library default stays f32-exact)",
                 "propagation_only_fps": round(prop_fps, 2),
                 "single_video_fps": round(sv_fps, 2),
                 "exact_mode_fps": round(exact_fps, 2),

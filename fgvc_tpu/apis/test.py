@@ -290,6 +290,11 @@ def run_task(
     from fgvc_tpu.parallel.dist import process_info
 
     rank, world = process_info()
+    if query_mode != "first" and task not in ("davis", "kinetics"):
+        raise ValueError(
+            f"--query-mode {query_mode!r} only applies to TAP-Vid point "
+            f"tracking (davis/kinetics), not task {task!r}"
+        )
     # report artifacts are written once (rank 0) — every rank still scores
     # the merged results, like the reference's rank-0 dataset.evaluate
     if rank != 0:

@@ -164,12 +164,6 @@ class VideoDecode:
         return results
 
 
-# reference pipeline configs name the decord pair; same capability here
-DecordInit = None  # decord state is folded into VideoDecode (cv2)
-DecordDecode = VideoDecode
-OpenCVDecode = VideoDecode
-
-
 class VideoInit:
     """Probe a video file for total_frames (the *Init stages of
     loading.py — decord/OpenCV container open)."""
@@ -190,6 +184,14 @@ class VideoInit:
         results["total_frames"] = n
         results.setdefault("start_index", 0)
         return results
+
+
+# reference pipeline configs name the decord/OpenCV stages; the cv2-backed
+# pair provides the same capability under every alias
+DecordInit = VideoInit
+OpenCVInit = VideoInit
+DecordDecode = VideoDecode
+OpenCVDecode = VideoDecode
 
 
 class RawFrameDecode:

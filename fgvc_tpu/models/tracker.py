@@ -43,6 +43,16 @@ def _bucket(n: int, b: int) -> int:
     return -(-n // b) * b
 
 
+def _hard_onehot(seg_logit: jax.Array) -> jax.Array:
+    """hard_prop re-encoding: argmax→one-hot over the channel axis
+    (reference vanilla_tracker.py:762-765 — applied to bank entries only,
+    never to the emitted per-frame decode)."""
+    P = seg_logit.shape[-1]
+    return jax.nn.one_hot(
+        jnp.argmax(seg_logit, axis=-1), P, dtype=seg_logit.dtype
+    )
+
+
 class Tracker:
     """Feature extraction + top-k attention label propagation.
 
@@ -127,6 +137,12 @@ class Tracker:
 
             s = cfg.c2f_scale
             h, w = query.shape[:2]
+            if h % s or w % s:
+                raise ValueError(
+                    f"attention_impl='c2f' needs feature dims divisible by "
+                    f"c2f_scale={s}; got {h}x{w} (pick an input_size whose "
+                    f"stride-2 feature map is a multiple of {s})"
+                )
             qf, kf = query, keys
             if do_norm:
                 qf = l2_normalize(qf)
@@ -285,15 +301,7 @@ class Tracker:
             return idx, valid
 
         def bank_entry(seg_logit):
-            # hard_prop: the bank stores argmax→one-hot re-encoded maps;
-            # emitted decodes still use the soft logits (reference
-            # vanilla_tracker.py:762-765)
-            if not cfg.hard_prop:
-                return seg_logit
-            P = seg_logit.shape[-1]
-            return jax.nn.one_hot(
-                jnp.argmax(seg_logit, axis=-1), P, dtype=seg_logit.dtype
-            )
+            return _hard_onehot(seg_logit) if cfg.hard_prop else seg_logit
 
         # Per-tile slices straight from the full bank are fastest for small
         # banks but degrade badly on multi-GB banks (TPU gather locality);
@@ -460,13 +468,7 @@ class Tracker:
                 q, keys, values, key_valid, mask_shape,
                 pre_normalized=cfg.with_norm,
             )
-            if cfg.hard_prop:
-                P = seg_logit.shape[-1]
-                entry = jax.nn.one_hot(
-                    jnp.argmax(seg_logit, axis=-1), P, dtype=seg_logit.dtype
-                )
-            else:
-                entry = seg_logit
+            entry = _hard_onehot(seg_logit) if cfg.hard_prop else seg_logit
             new_carry = (
                 jnp.concatenate([feat_buf[1:], q[None]], axis=0),
                 jnp.concatenate([value_buf[1:], entry[None]], axis=0),

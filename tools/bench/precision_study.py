@@ -81,7 +81,9 @@ def main():
         )
 
     base_d = rows[0][1]
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "w") as f:
         f.write(
             "# Precision / approximation mode study (synthetic MOVi 256²)\n\n"
