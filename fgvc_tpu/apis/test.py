@@ -112,16 +112,44 @@ def _merge_shards(pairs):
     return [p[0] for p in pairs], [p[1] for p in pairs]
 
 
+def device_trackers(tracker: Tracker, devices):
+    """One Tracker clone per local device (variables replicated by
+    device_put) — the single-process data-parallel eval fleet.  The
+    reference needs one torch.distributed process per GPU for this
+    (apis/test.py multi_gpu_test); here devices are just dispatch targets.
+    """
+    import jax as _jax
+
+    return [
+        Tracker(
+            tracker.apply_fn,
+            _jax.device_put(tracker.variables, d),
+            tracker.cfg,
+        )
+        for d in devices
+    ]
+
+
 def eval_tapvid(
-    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1,
+    output_dir=None, devices=None,
 ) -> Dict[str, float]:
     """TAP-Vid DAVIS / Kinetics point tracking.
 
     Videos are pipelined one deep: while video i propagates, video i+1's
     host→device upload and feature extraction are already dispatched
-    (the TPU equivalent of the reference's CPU-bank prefetch)."""
+    (the TPU equivalent of the reference's CPU-bank prefetch).
+
+    `devices` (2+ local devices) switches to single-process data-parallel
+    eval: videos round-robin across the devices with a device-deep
+    in-flight window — dispatch is async, so all chips propagate
+    concurrently while the host feeds them."""
     results = []
     ids = _my_videos(len(dataset), rank, world, max_videos)
+    if devices is not None and len(devices) > 1:
+        return _eval_tapvid_multidevice(
+            tracker, dataset, ids, devices, output_dir
+        )
 
     def load(i):
         sample = dataset[i]
@@ -144,24 +172,62 @@ def eval_tapvid(
             f" {time.time() - t0:.2f}s",
             flush=True,
         )
-        results.append(
-            (
-                i,
-                {
-                    "trajectories_gt": sample["trajectories"],
-                    "visibilities_gt": sample["visibilities"],
-                    "trajectories_pred": out["trajectories"],
-                    "visibilities_pred": out["visibilities"],
-                    "query_points": sample["query_points"],
-                },
-            )
-        )
+        results.append((i, _pack_result(sample, out)))
         if output_dir and n == 0:
             # PIPs Summ_writer-style trajectory render of the first video
             # (reference tapvid.py:206-300 writes per-video track videos)
             _write_track_video(
                 sample["video"], out["trajectories"], output_dir, i
             )
+    idxs, results = _merge_shards(results)
+    return dataset.evaluate(results, output_dir=output_dir, indices=idxs)
+
+
+def _pack_result(sample, out):
+    return {
+        "trajectories_gt": sample["trajectories"],
+        "visibilities_gt": sample["visibilities"],
+        "trajectories_pred": out["trajectories"],
+        "visibilities_pred": out["visibilities"],
+        "query_points": sample["query_points"],
+    }
+
+
+def _eval_tapvid_multidevice(tracker, dataset, ids, devices, output_dir):
+    """Round-robin videos over local devices with async dispatch; collect
+    in completion order behind a devices-deep in-flight window."""
+    from collections import deque
+
+    trackers = device_trackers(tracker, devices)
+    D = len(devices)
+    inflight: deque = deque()
+    results = []
+    t_start = time.time()
+    frames = 0
+    for n, i in enumerate(ids):
+        tr = trackers[n % D]
+        sample = dataset[i]
+        feats = tr._features_padded(sample["video"], device=devices[n % D])
+        disp = tr.track_points_dispatch(
+            sample["video"], sample["query_points"], feats=feats
+        )
+        inflight.append((i, n % D, sample, disp))
+        frames += len(sample["video"])
+        while len(inflight) >= D:
+            j, dslot, s, dp = inflight.popleft()
+            out = trackers[dslot].track_points_collect(dp)
+            results.append((j, _pack_result(s, out)))
+    while inflight:
+        j, dslot, s, dp = inflight.popleft()
+        out = trackers[dslot].track_points_collect(dp)
+        results.append((j, _pack_result(s, out)))
+    dt = time.time() - t_start
+    print(
+        f"[dp-eval] {len(ids)} videos / {frames} frames over {D} devices "
+        f"in {dt:.2f}s ({frames / max(dt, 1e-9):.1f} fps aggregate)",
+        flush=True,
+    )
+    results.sort(key=lambda p: p[0])
     idxs, results = _merge_shards(results)
     return dataset.evaluate(results, output_dir=output_dir, indices=idxs)
 
@@ -276,6 +342,7 @@ def run_task(
     test_cfg: Optional[TestConfig] = None,
     model: str = "vanilla",
     query_mode: str = "first",
+    local_devices: Optional[int] = None,
 ) -> Dict[str, float]:
     """Mirror of `tools/test.py --task ...` (tools/test.py:121-198).
 
@@ -306,11 +373,17 @@ def run_task(
         tracker = build_raft_tracker(checkpoint)
     else:
         tracker = build_tracker(cfg, checkpoint)
+    devices = None
+    if local_devices and local_devices > 1:
+        devices = jax.local_devices()[:local_devices]
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 
         ds = TapVidDataset(data_root, subset_name=task, query_mode=query_mode)
-        return eval_tapvid(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
+        return eval_tapvid(
+            tracker, ds, max_videos, rank=rank, world=world,
+            output_dir=output_dir, devices=devices,
+        )
     if task == "jhmdb":
         from fgvc_tpu.datasets.jhmdb import JhmdbDataset
 

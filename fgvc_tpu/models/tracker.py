@@ -552,6 +552,63 @@ class Tracker:
     # ------------------------------------------------------------------ #
     # public API: point tracking (TAP-Vid protocol)
     # ------------------------------------------------------------------ #
+    def track_points_dispatch(
+        self,
+        video: np.ndarray,          # (T, H, W, 3) preprocessed (Lab-normalized)
+        query_points: np.ndarray,   # (P, 3) (t, x, y) in input pixels
+        feats: Optional[jax.Array] = None,  # pre-dispatched _features_padded
+    ) -> Dict:
+        """Dispatch the full forward-test asynchronously; returns a pending
+        handle for `track_points_collect`.  Splitting dispatch from
+        collection lets a harness keep several videos in flight — across
+        transfers on one chip, or round-robin across local devices
+        (data-parallel eval without processes)."""
+        cfg = self.cfg
+        T, H, W, _ = video.shape
+        P = query_points.shape[0]
+
+        if feats is None:
+            feats = self._features_padded(video)
+        # small host inputs follow the feature bank's device so multi-device
+        # round-robin dispatch never mixes committed devices
+        dev = next(iter(feats.devices())) if hasattr(feats, "devices") else None
+
+        def put(x):
+            return jax.device_put(x, dev) if dev is not None else jnp.asarray(x)
+
+        ts = np.unique(query_points[:, 0].astype(np.int64))
+        pending = []
+        for t in ts:
+            sel = np.nonzero(query_points[:, 0].astype(np.int64) == t)[0]
+            pts = query_points[sel][:, 1:]  # (Pg, 2) x, y
+            p_pad = _bucket(len(sel), cfg.point_bucket)
+            pts_p = np.zeros((p_pad, 2), dtype=np.float32)
+            pts_p[: len(sel)] = pts
+            valid = np.arange(p_pad) < len(sel)
+
+            L_pad = _bucket(T - int(t), cfg.frame_bucket)
+            coords = self._track_group(
+                feats,
+                put(np.int32(t)),
+                put(pts_p),
+                put(valid),
+                full_hw=(H, W),
+                length=L_pad,
+            )
+            pending.append((t, sel, coords))
+        return {"pending": pending, "T": T, "P": P}
+
+    def track_points_collect(self, disp: Dict) -> Dict[str, np.ndarray]:
+        """Fetch a dispatched forward-test's results to the host."""
+        T, P = disp["T"], disp["P"]
+        traj_pred = np.zeros((T, P, 2), dtype=np.float32)
+        for t, sel, coords in disp["pending"]:
+            traj_pred[int(t):, sel] = np.array(coords)[: T - int(t), : len(sel)]
+        return {
+            "trajectories": traj_pred,
+            "visibilities": np.zeros((T, P), dtype=bool),
+        }
+
     def track_points(
         self,
         video: np.ndarray,          # (T, H, W, 3) preprocessed (Lab-normalized)
@@ -568,43 +625,9 @@ class Tracker:
         `feats` lets the eval harness prefetch the next video's upload +
         feature extraction while the previous video propagates.
         """
-        cfg = self.cfg
-        T, H, W, _ = video.shape
-        P = query_points.shape[0]
-
-        if feats is None:
-            feats = self._features_padded(video)
-        traj_pred = np.zeros((T, P, 2), dtype=np.float32)
-
-        ts = np.unique(query_points[:, 0].astype(np.int64))
-        pending = []
-        for t in ts:
-            sel = np.nonzero(query_points[:, 0].astype(np.int64) == t)[0]
-            pts = query_points[sel][:, 1:]  # (Pg, 2) x, y
-            p_pad = _bucket(len(sel), cfg.point_bucket)
-            pts_p = np.zeros((p_pad, 2), dtype=np.float32)
-            pts_p[: len(sel)] = pts
-            valid = np.arange(p_pad) < len(sel)
-
-            L_pad = _bucket(T - int(t), cfg.frame_bucket)
-            coords = self._track_group(
-                feats,
-                jnp.int32(t),
-                jnp.asarray(pts_p),
-                jnp.asarray(valid),
-                full_hw=(H, W),
-                length=L_pad,
-            )
-            pending.append((t, sel, coords))
-
-        # fetch results after all groups are dispatched (overlaps transfers)
-        for t, sel, coords in pending:
-            traj_pred[int(t):, sel] = np.array(coords)[: T - int(t), : len(sel)]
-
-        return {
-            "trajectories": traj_pred,
-            "visibilities": np.zeros((T, P), dtype=bool),
-        }
+        return self.track_points_collect(
+            self.track_points_dispatch(video, query_points, feats=feats)
+        )
 
     # ------------------------------------------------------------------ #
     # public API: forward-warp coordinate tracking
@@ -799,7 +822,9 @@ class Tracker:
         return masks
 
     # ------------------------------------------------------------------ #
-    def _features_padded(self, video: np.ndarray) -> jax.Array:
+    def _features_padded(
+        self, video: np.ndarray, device=None
+    ) -> jax.Array:
         """Extract features for the T real frames, then zero-pad the feature
         bank by one extra frame bucket so per-group dynamic slices never
         clamp.  Padding the FEATURES (a cheap copy) instead of the video
@@ -808,10 +833,17 @@ class Tracker:
 
         The video is uploaded in 16-frame chunks so the host→device transfer
         of chunk i+1 overlaps the backbone on chunk i (the tunnel link is
-        the eval bottleneck)."""
+        the eval bottleneck).  `device` pins the upload + compute to one
+        local device (data-parallel eval round-robin)."""
         cfg = self.cfg
         T = video.shape[0]
         t_pad = _bucket(T, cfg.frame_bucket) + cfg.frame_bucket
+
+        def put(x):
+            return (
+                jax.device_put(x, device) if device is not None
+                else jnp.asarray(x)
+            )
 
         CH = 16
         if isinstance(video, np.ndarray) and T > CH:
@@ -820,10 +852,10 @@ class Tracker:
                 [video, np.zeros((n * CH - T, *video.shape[1:]), video.dtype)]
             )
             parts = [
-                self._extract(jnp.asarray(video_p[i * CH : (i + 1) * CH]))
+                self._extract(put(video_p[i * CH : (i + 1) * CH]))
                 for i in range(n)
             ]
             feats = jnp.concatenate(parts, axis=0)[:T]
         else:
-            feats = self.extract_features(jnp.asarray(video))
+            feats = self.extract_features(put(video))
         return jnp.pad(feats, ((0, t_pad - T), (0, 0), (0, 0), (0, 0)))

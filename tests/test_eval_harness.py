@@ -168,3 +168,22 @@ def test_tapvid_strided_query_mode(fixtures):
     out = eval_tapvid(tr, ds)
     assert "average_pts_within_thresh" in out
     assert np.isfinite(out["average_pts_within_thresh"])
+
+
+def test_tapvid_multidevice_dp_eval(fixtures):
+    """Single-process data-parallel eval: round-robin over the 8 virtual
+    CPU devices must score identically to the single-device loop."""
+    import jax
+
+    from fgvc_tpu.apis.test import build_tracker, eval_tapvid
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+    assert len(jax.devices()) >= 2  # conftest forces an 8-device CPU mesh
+    cfg = _small_cfg("davis", input_size=(24, 24))
+    tr = build_tracker(cfg)
+    ds = TapVidDataset(fixtures["tapvid"], input_size=(24, 24))
+    single = eval_tapvid(tr, ds)
+    multi = eval_tapvid(tr, ds, devices=jax.devices()[:4])
+    assert multi["average_pts_within_thresh"] == pytest.approx(
+        single["average_pts_within_thresh"], abs=1e-4
+    )

@@ -91,6 +91,13 @@ def main():
         metavar="LOGDIR",
         help="write a jax.profiler device+host trace (TensorBoard/xprof)",
     )
+    parser.add_argument(
+        "--local-devices",
+        type=int,
+        default=None,
+        help="single-process data-parallel eval over N local devices "
+             "(videos round-robin; TAP-Vid tasks)",
+    )
     args = parser.parse_args()
 
     import dataclasses
@@ -136,6 +143,7 @@ def main():
             test_cfg=cfg,
             model=args.model,
             query_mode=args.query_mode,
+            local_devices=args.local_devices,
         )
     print(json.dumps(results, indent=2, default=float))
 
