@@ -251,9 +251,39 @@ def _write_track_video(video, trajectories, output_dir, idx):
         pass  # visualization is best-effort
 
 
-def _heatmap_eval_loop(tracker, dataset, ids):
+def _heatmap_eval_loop(tracker, dataset, ids, devices=None):
     """Shared JHMDB/BADJA loop with one-deep video prefetch (upload +
-    feature extraction of video i+1 dispatch while video i propagates)."""
+    feature extraction of video i+1 dispatch while video i propagates);
+    with `devices`, videos round-robin across local devices (the
+    single-process data-parallel eval, like _eval_tapvid_multidevice)."""
+    if devices is not None and len(devices) > 1:
+        from collections import deque
+
+        trackers = device_trackers(tracker, devices)
+        D = len(devices)
+        inflight: deque = deque()
+        out = []
+        for n, i in enumerate(ids):
+            tr = trackers[n % D]
+            sample = dataset[i]
+            feats = tr._features_padded(
+                sample["video"], device=devices[n % D]
+            )
+            disp = tr.track_heatmaps_dispatch(
+                sample["video"],
+                sample["ref_maps"],
+                tuple(sample["original_shape"]),
+                feats=feats,
+            )
+            inflight.append((i, n % D, disp))
+            while len(inflight) >= D:
+                j, dslot, dp = inflight.popleft()
+                out.append((j, trackers[dslot].track_heatmaps_collect(dp)))
+        while inflight:
+            j, dslot, dp = inflight.popleft()
+            out.append((j, trackers[dslot].track_heatmaps_collect(dp)))
+        return sorted(out, key=lambda p: p[0])
+
     def load(i):
         sample = dataset[i]
         feats = (
@@ -279,22 +309,24 @@ def _heatmap_eval_loop(tracker, dataset, ids):
 
 
 def eval_jhmdb(
-    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1,
+    output_dir=None, devices=None,
 ) -> Dict[str, float]:
     ids = _my_videos(len(dataset), rank, world, max_videos)
     preds = [
         (i, np.transpose(c, (2, 1, 0)))  # (2, P, T)
-        for i, c in _heatmap_eval_loop(tracker, dataset, ids)
+        for i, c in _heatmap_eval_loop(tracker, dataset, ids, devices)
     ]
     idxs, preds = _merge_shards(preds)
     return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
 
 
 def eval_badja(
-    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1,
+    output_dir=None, devices=None,
 ) -> Dict[str, float]:
     ids = _my_videos(len(dataset), rank, world, max_videos)
-    preds = _heatmap_eval_loop(tracker, dataset, ids)  # (T, P, 2) @ input size
+    preds = _heatmap_eval_loop(tracker, dataset, ids, devices)  # (T, P, 2) @ input size
     idxs, preds = _merge_shards(preds)
     return dataset.evaluate(preds, indices=idxs, output_dir=output_dir)
 
@@ -388,12 +420,18 @@ def run_task(
         from fgvc_tpu.datasets.jhmdb import JhmdbDataset
 
         ds = JhmdbDataset(data_root, list_path or data_root)
-        return eval_jhmdb(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
+        return eval_jhmdb(
+            tracker, ds, max_videos, rank=rank, world=world,
+            output_dir=output_dir, devices=devices,
+        )
     if task == "badja":
         from fgvc_tpu.datasets.badja import BadjaDataset
 
         ds = BadjaDataset(data_root, list_path or data_root)
-        return eval_badja(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
+        return eval_badja(
+            tracker, ds, max_videos, rank=rank, world=world,
+            output_dir=output_dir, devices=devices,
+        )
     if task == "vos":
         from fgvc_tpu.datasets.davis_vos import DavisVosDataset
 

@@ -720,6 +720,49 @@ class Tracker:
     # ------------------------------------------------------------------ #
     # public API: keypoint heatmap propagation (JHMDB / BADJA protocol)
     # ------------------------------------------------------------------ #
+    def track_heatmaps_dispatch(
+        self,
+        video: np.ndarray,       # (T, H, W, 3) preprocessed (Lab-normalized)
+        ref_maps: np.ndarray,    # (h0, w0, P) reference keypoint heatmaps
+        decode_hw: Tuple[int, int],  # resolution to decode coordinates at
+        feats: Optional[jax.Array] = None,  # prefetched _features_padded
+    ) -> Dict:
+        """Async dispatch of heatmap propagation (see track_heatmaps)."""
+        cfg = self.cfg
+        T = video.shape[0]
+        P = ref_maps.shape[-1]
+
+        if feats is None:
+            feats = self._features_padded(video)
+        h, w = feats.shape[1:3]
+        dev = next(iter(feats.devices())) if hasattr(feats, "devices") else None
+
+        def put(x):
+            return jax.device_put(x, dev) if dev is not None else jnp.asarray(x)
+
+        p_pad = _bucket(P, cfg.point_bucket)
+        maps = put(np.asarray(ref_maps, np.float32))
+        resized = jax.image.resize(maps, (h, w, P), method="bilinear")
+        resized = jnp.pad(resized, ((0, 0), (0, 0), (0, p_pad - P)))
+
+        L_pad = _bucket(T, cfg.frame_bucket)
+        feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
+        coords = self._propagate(
+            feats_g,
+            jnp.transpose(resized, (2, 0, 1)),
+            decode_hw,
+            mask_shape="square",
+        )
+        # frame 0: decode from the original reference maps at decode_hw
+        ref_up = jax.image.resize(maps, (*decode_hw, P), method="bilinear")
+        coords0 = soft_argmax_topk(jnp.transpose(ref_up, (2, 0, 1)), topk=5)
+        return {"coords": coords, "coords0": coords0, "T": T, "P": P}
+
+    def track_heatmaps_collect(self, disp: Dict) -> np.ndarray:
+        coords = np.array(disp["coords"])[: disp["T"], : disp["P"]]
+        coords[0] = np.asarray(disp["coords0"])
+        return coords
+
     def track_heatmaps(
         self,
         video: np.ndarray,       # (T, H, W, 3) preprocessed (Lab-normalized)
@@ -736,35 +779,9 @@ class Tracker:
         (mmcv-Correlation semantics), decode with top-5 soft-argmax on maps
         upsampled to decode_hw.
         """
-        cfg = self.cfg
-        T = video.shape[0]
-        P = ref_maps.shape[-1]
-
-        if feats is None:
-            feats = self._features_padded(video)
-        h, w = feats.shape[1:3]
-
-        p_pad = _bucket(P, cfg.point_bucket)
-        maps = jnp.asarray(ref_maps, jnp.float32)
-        resized = jax.image.resize(maps, (h, w, P), method="bilinear")
-        resized = jnp.pad(resized, ((0, 0), (0, 0), (0, p_pad - P)))
-
-        L_pad = _bucket(T, cfg.frame_bucket)
-        feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
-        coords = self._propagate(
-            feats_g,
-            jnp.transpose(resized, (2, 0, 1)),
-            decode_hw,
-            mask_shape="square",
+        return self.track_heatmaps_collect(
+            self.track_heatmaps_dispatch(video, ref_maps, decode_hw, feats)
         )
-        coords = np.array(coords)[:T, :P]
-
-        # frame 0: decode from the original reference maps at decode_hw
-        ref_up = jax.image.resize(maps, (*decode_hw, P), method="bilinear")
-        coords[0] = np.asarray(
-            soft_argmax_topk(jnp.transpose(ref_up, (2, 0, 1)), topk=5)
-        )
-        return coords
 
     # ------------------------------------------------------------------ #
     # public API: VOS mask propagation (DAVIS protocol)

@@ -187,3 +187,21 @@ def test_tapvid_multidevice_dp_eval(fixtures):
     assert multi["average_pts_within_thresh"] == pytest.approx(
         single["average_pts_within_thresh"], abs=1e-4
     )
+
+
+def test_jhmdb_multidevice_dp_eval(fixtures):
+    import jax
+
+    from fgvc_tpu.apis.test import build_tracker, eval_jhmdb
+    from fgvc_tpu.datasets.jhmdb import JhmdbDataset
+
+    cfg = _small_cfg("jhmdb", input_size=(32, 32))
+    tr = build_tracker(cfg)
+    ds = JhmdbDataset(
+        fixtures["jhmdb"], os.path.join(fixtures["jhmdb"], "lists"),
+        input_size=(32, 32),
+    )
+    single = eval_jhmdb(tr, ds)
+    multi = eval_jhmdb(tr, ds, devices=jax.devices()[:2])
+    for k in single:
+        assert multi[k] == pytest.approx(single[k], abs=1e-4), k
