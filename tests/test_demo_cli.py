@@ -26,7 +26,8 @@ def test_demo_trajectory_and_correspondence(tmp_path):
     out_mp4 = tmp_path / "demo.mp4"
     r = subprocess.run(
         [sys.executable, "tools/demo.py", "--frames", str(frames),
-         "--grid", "2", "--size", "32", "--out", str(out_mp4)],
+         "--grid", "2", "--size", "32", "--out", str(out_mp4),
+         "--platform", "cpu"],
         capture_output=True, text=True, timeout=540,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -35,7 +36,8 @@ def test_demo_trajectory_and_correspondence(tmp_path):
     out_png = tmp_path / "corr.png"
     r2 = subprocess.run(
         [sys.executable, "tools/demo.py", "--frames", str(frames),
-         "--correspondence", "--size", "32", "--out", str(out_png)],
+         "--correspondence", "--size", "32", "--out", str(out_png),
+         "--platform", "cpu"],
         capture_output=True, text=True, timeout=540,
     )
     assert r2.returncode == 0, r2.stderr[-2000:]

@@ -53,10 +53,19 @@ def main():
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--out", default="demo.mp4")
     parser.add_argument("--correspondence", action="store_true")
+    parser.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu"],
+        help="force a jax platform (the JAX_PLATFORMS env var is overridden "
+             "by device plugins in some environments; the config API wins)",
+    )
     args = parser.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
