@@ -332,15 +332,48 @@ def eval_badja(
 
 
 def eval_vos(
-    tracker: Tracker, dataset, max_videos=None, rank=0, world=1, output_dir=None
+    tracker: Tracker, dataset, max_videos=None, rank=0, world=1,
+    output_dir=None, devices=None,
 ) -> Dict[str, float]:
     """Masks are SCORED locally per rank and only the small per-video J&F
     stats cross processes — full-resolution mask stacks are hundreds of MB
-    and would crawl through the host link if allgathered raw."""
+    and would crawl through the host link if allgathered raw.
+
+    `devices` round-robins videos across local devices (the mask stacks
+    come back per device; scoring stays on the host)."""
     from fgvc_tpu.core.metrics.vos import aggregate_jf
 
     stats = []
     ids = _my_videos(len(dataset), rank, world, max_videos)
+    if devices is not None and len(devices) > 1:
+        from collections import deque
+
+        trackers = device_trackers(tracker, devices)
+        D = len(devices)
+        inflight: deque = deque()
+
+        def score(j, dslot, dp):
+            masks = trackers[dslot].track_masks_collect(dp)
+            s = dataset.score_video(j, masks)
+            if s is not None:
+                stats.append((j, s))
+
+        for n, i in enumerate(ids):
+            sample = dataset[i]
+            disp = trackers[n % D].track_masks_dispatch(
+                sample["video"],
+                sample["first_mask"],
+                tuple(sample["original_shape"]),
+                sample["num_objects"],
+                device=devices[n % D],
+            )
+            inflight.append((i, n % D, disp))
+            while len(inflight) >= D:
+                score(*inflight.popleft())
+        while inflight:
+            score(*inflight.popleft())
+        stats.sort(key=lambda p: p[0])
+        ids = []  # consumed
     for i in ids:
         sample = dataset[i]
         masks = tracker.track_masks(
@@ -436,5 +469,8 @@ def run_task(
         from fgvc_tpu.datasets.davis_vos import DavisVosDataset
 
         ds = DavisVosDataset(data_root, split_list=list_path)
-        return eval_vos(tracker, ds, max_videos, rank=rank, world=world, output_dir=output_dir)
+        return eval_vos(
+            tracker, ds, max_videos, rank=rank, world=world,
+            output_dir=output_dir, devices=devices,
+        )
     raise ValueError(f"unknown task {task}")

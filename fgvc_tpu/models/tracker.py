@@ -796,19 +796,39 @@ class Tracker:
         """Multi-object mask propagation; returns (T, H, W) int labels at
         decode_hw.  One-hot at feature resolution (nearest-downsampled like
         the reference's pil_nearest path), square correlation window."""
+        return self.track_masks_collect(
+            self.track_masks_dispatch(video, ref_mask, decode_hw, num_objects)
+        )
+
+    def track_masks_dispatch(
+        self,
+        video: np.ndarray,
+        ref_mask: np.ndarray,
+        decode_hw: Tuple[int, int],
+        num_objects: int,
+        device=None,
+    ) -> Dict:
+        """Async dispatch of VOS mask propagation (see track_masks);
+        `device` pins the work to one local device for data-parallel eval."""
         cfg = self.cfg
         T = video.shape[0]
+
+        def put(x):
+            return (
+                jax.device_put(x, device) if device is not None
+                else jnp.asarray(x)
+            )
 
         if cfg.save_mem:
             # streaming mode: only the first frame's features are extracted
             # up front (to size the value maps); the scan streams the rest
-            f0 = self.extract_features(jnp.asarray(video[:1]))
+            f0 = self.extract_features(put(video[:1]))
             h, w = f0.shape[1:3]
         else:
-            feats = self._features_padded(video)
+            feats = self._features_padded(video, device=device)
             h, w = feats.shape[1:3]
 
-        labels = jnp.asarray(ref_mask, jnp.int32)
+        labels = put(np.asarray(ref_mask, np.int32))
         small = jax.image.resize(
             labels.astype(jnp.float32)[..., None], (h, w, 1), method="nearest"
         )[..., 0].astype(jnp.int32)
@@ -820,22 +840,24 @@ class Tracker:
                 [video, np.repeat(video[-1:], L_pad - T, axis=0)], axis=0
             )
             masks = self._propagate_m_stream(
-                jnp.asarray(video_p), onehot, decode_hw, mask_shape="square"
+                put(video_p), onehot, decode_hw, mask_shape="square"
             )
         else:
             feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
             masks = self._propagate_m(
                 feats_g, onehot, decode_hw, mask_shape="square"
             )
-        masks = np.array(masks)[:T]
         # frame 0 is ground truth at decode resolution
-        masks[0] = np.asarray(
-            jax.image.resize(
-                labels.astype(jnp.float32)[..., None],
-                (*decode_hw, 1),
-                method="nearest",
-            )[..., 0].astype(jnp.int32)
-        )
+        mask0 = jax.image.resize(
+            labels.astype(jnp.float32)[..., None],
+            (*decode_hw, 1),
+            method="nearest",
+        )[..., 0].astype(jnp.int32)
+        return {"masks": masks, "mask0": mask0, "T": T}
+
+    def track_masks_collect(self, disp: Dict) -> np.ndarray:
+        masks = np.array(disp["masks"])[: disp["T"]]
+        masks[0] = np.asarray(disp["mask0"])
         return masks
 
     # ------------------------------------------------------------------ #

@@ -205,3 +205,21 @@ def test_jhmdb_multidevice_dp_eval(fixtures):
     multi = eval_jhmdb(tr, ds, devices=jax.devices()[:2])
     for k in single:
         assert multi[k] == pytest.approx(single[k], abs=1e-4), k
+
+
+def test_vos_multidevice_dp_eval(fixtures):
+    import jax
+
+    from fgvc_tpu.apis.test import build_tracker, eval_vos
+    from fgvc_tpu.datasets.davis_vos import DavisVosDataset
+
+    # tiled impl: interpret-mode Pallas re-traces per tracker clone and is
+    # pathologically slow on the 1-core CPU host; DP mechanics (device
+    # routing, dispatch/collect, scoring) are what this test covers
+    cfg = _small_cfg("vos", input_size=(32, 32), attention_impl="tiled")
+    tr = build_tracker(cfg)
+    ds = DavisVosDataset(fixtures["davis"])
+    single = eval_vos(tr, ds)
+    multi = eval_vos(tr, ds, devices=jax.devices()[:2])
+    for k in single:
+        assert multi[k] == pytest.approx(single[k], abs=1e-6), k
