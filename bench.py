@@ -110,6 +110,18 @@ def main():
 
     assert np.all(np.isfinite(out["trajectories"])), "non-finite trajectories"
 
+    # tunnel-bandwidth probe: the e2e-vs-propagation gap is host→device
+    # upload through the shared tunnel (196 KB/frame of uint8); production
+    # TPU hosts move this over local PCIe/DMA at GB/s.  Median of 3.
+    up = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jnp.asarray(videos[0])
+        float(jnp.sum(d.astype(jnp.float32)))
+        up.append(time.perf_counter() - t0)
+    up_s = float(np.median(up))
+    mb = videos[0].nbytes / 1e6
+
     # f32-exact parity mode, pipelined (same loop as the headline)
     def pipelined_exact():
         t0 = time.perf_counter()
@@ -154,6 +166,8 @@ def main():
                 "propagation_only_fps": round(prop_fps, 2),
                 "single_video_fps": round(sv_fps, 2),
                 "exact_mode_fps": round(exact_fps, 2),
+                "tunnel_MBps": round(mb / up_s, 1),
+                "upload_ms_per_frame": round(1e3 * up_s / T, 2),
                 "end_to_end_runs": [round(r, 2) for r in runs],
             }
         )

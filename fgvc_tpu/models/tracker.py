@@ -570,8 +570,12 @@ class Tracker:
         if feats is None:
             feats = self._features_padded(video)
         # small host inputs follow the feature bank's device so multi-device
-        # round-robin dispatch never mixes committed devices
-        dev = next(iter(feats.devices())) if hasattr(feats, "devices") else None
+        # round-robin dispatch never mixes committed devices; on a
+        # single-device runtime plain asarray avoids explicit device_put
+        # round-trips through the tunnel
+        dev = None
+        if len(jax.local_devices()) > 1 and hasattr(feats, "devices"):
+            dev = next(iter(feats.devices()))
 
         def put(x):
             return jax.device_put(x, dev) if dev is not None else jnp.asarray(x)
