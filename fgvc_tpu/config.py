@@ -137,6 +137,12 @@ class TrainConfig:
     # scaling (the Fp16OptimizerHook equivalent; bf16 on TPU rarely needs it)
     grad_clip: Optional[float] = None
     loss_scale: float = 1.0
+    # Training matmul precision for the radius-24 correlation volumes:
+    # 'high' (bf16x3, ~2^-21 relative) is strictly TIGHTER than the TF32
+    # matmuls the reference's A100 training used (torch 1.9 enables TF32
+    # by default, ~2^-10 mantissa); 'highest' = full f32 for exactness
+    # studies. Eval-path correlations keep their own HIGHEST default.
+    matmul_precision: str = "high"
     # rematerialize backbone activations in the backward pass — trades
     # ~30% step time for activation memory, enabling larger global batches
     # per chip (jax.checkpoint on the student forward)

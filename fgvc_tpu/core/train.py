@@ -182,27 +182,53 @@ class MixedTrainer:
 
         stats = batch_stats
 
-        # (i) reconstruction on the unlabeled pair
-        dropped, ch = drop_lab_channel(imgs, k_drop1)
-        feats, stats = run_backbone(
-            dropped.reshape(B * 2, *imgs.shape[2:]), stats
-        )
-        feats = feats.reshape(B, 2, *feats.shape[1:])
-        l1, corr_target = reconstruction_loss(feats, imgs, ch, c)
-        losses["l1_loss"] = c.loss_weight_l1 * l1
+        # Zero-weight branches are gated at the PYTHON level: XLA cannot
+        # fold 0*x (x may be inf/nan), so a weight-0 branch would otherwise
+        # still compute its full forward+backward (measured: the 3-branch
+        # step costs 424 ms at B=4 while any single branch costs 297 ms).
+        # Skipping also matches the reference's DEDICATED single-objective
+        # trainers (Memory_Tracker_Custom_V2 runs no sup branch and no sup
+        # BN updates, mixed_tracker.py:76-234).
+        zero = jnp.zeros(())
 
-        # (ii) supervised distillation on the synthetic pair
-        dropped_sup, _ = drop_lab_channel(imgs_sup, k_drop2)
-        teacher_feat = jax.lax.stop_gradient(
-            self.teacher.apply(teacher_vars, imgs_sup[:, 0], train=False)
-        )
-        feats_sup, stats = run_backbone(
-            dropped_sup.reshape(B * 2, *imgs_sup.shape[2:]), stats
-        )
-        feats_sup = feats_sup.reshape(B, 2, *feats_sup.shape[1:])
-        losses["sup_loss"] = c.loss_weight_sup * supervised_distillation_loss(
-            feats_sup, teacher_feat, flow, flow_back, c
-        )
+        # (i) reconstruction on the unlabeled pair (the correlation volume
+        # is reused by the adversarial branch, so it is also needed there)
+        need_rec = c.loss_weight_l1 > 0 or c.loss_weight_corr_da > 0
+        corr_target = None
+        if need_rec:
+            dropped, ch = drop_lab_channel(imgs, k_drop1)
+            feats, stats = run_backbone(
+                dropped.reshape(B * 2, *imgs.shape[2:]), stats
+            )
+            feats = feats.reshape(B, 2, *feats.shape[1:])
+            l1, corr_target = reconstruction_loss(feats, imgs, ch, c)
+            losses["l1_loss"] = (
+                c.loss_weight_l1 * l1 if c.loss_weight_l1 > 0 else zero
+            )
+        else:
+            losses["l1_loss"] = zero
+
+        # (ii) supervised distillation on the synthetic pair (its features
+        # also feed the adversarial source correlation)
+        need_sup_feats = c.loss_weight_sup > 0 or c.loss_weight_corr_da > 0
+        if need_sup_feats:
+            dropped_sup, _ = drop_lab_channel(imgs_sup, k_drop2)
+            feats_sup, stats = run_backbone(
+                dropped_sup.reshape(B * 2, *imgs_sup.shape[2:]), stats
+            )
+            feats_sup = feats_sup.reshape(B, 2, *feats_sup.shape[1:])
+        if c.loss_weight_sup > 0:
+            teacher_feat = jax.lax.stop_gradient(
+                self.teacher.apply(teacher_vars, imgs_sup[:, 0], train=False)
+            )
+            losses["sup_loss"] = (
+                c.loss_weight_sup
+                * supervised_distillation_loss(
+                    feats_sup, teacher_feat, flow, flow_back, c
+                )
+            )
+        else:
+            losses["sup_loss"] = zero
 
         # (iii) adversarial correlation-domain alignment
         if c.loss_weight_corr_da > 0:
@@ -211,7 +237,9 @@ class MixedTrainer:
             R = c.radius
             win2 = (2 * R + 1) ** 2
             corr_source = jax.vmap(
-                lambda t, r: local_correlation(t, r, R)
+                lambda t, r: local_correlation(
+                    t, r, R, precision=c.matmul_precision
+                )
             )(feats_sup[:, 1], feats_sup[:, 0]).reshape(B, *feats_sup.shape[2:4], win2)
             losses["corr_da_loss"] = c.loss_weight_corr_da * adversarial_corr_loss(
                 lambda p, x: self.corr_disc.apply({"params": p}, x),

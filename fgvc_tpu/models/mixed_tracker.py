@@ -103,7 +103,9 @@ def reconstruction_loss(
     win2 = (2 * R + 1) ** 2
     tar, ref = feats_pair[:, 1], feats_pair[:, 0]
 
-    corr = jax.vmap(lambda t, r: local_correlation(t, r, R))(tar, ref)
+    corr = jax.vmap(
+        lambda t, r: local_correlation(t, r, R, precision=cfg.matmul_precision)
+    )(tar, ref)
     corr = corr.reshape(B, h, w, win2)
 
     att = jax.nn.softmax(corr / jnp.sqrt(jnp.float32(C)), axis=-1)
@@ -165,13 +167,17 @@ def supervised_distillation_loss(
     )  # (B, h, w, 2)
     warp_tf = jax.vmap(bilinear_sample)(tf, coords)
 
-    t_corr = jax.vmap(lambda t, r: local_correlation(t, r, R))(warp_tf, tf)
+    t_corr = jax.vmap(
+        lambda t, r: local_correlation(t, r, R, precision=cfg.matmul_precision)
+    )(warp_tf, tf)
     target = jax.lax.stop_gradient(
         t_corr.reshape(B, h, w, win2) / cfg.temperature_t
     )
 
     sn = l2_normalize(student_pair, axis=-1)
-    s_corr = jax.vmap(lambda t, r: local_correlation(t, r, R))(sn[:, 1], sn[:, 0])
+    s_corr = jax.vmap(
+        lambda t, r: local_correlation(t, r, R, precision=cfg.matmul_precision)
+    )(sn[:, 1], sn[:, 0])
     pred = s_corr.reshape(B, h, w, win2) / cfg.temperature_t
 
     ce = soft_ce(pred.reshape(-1, win2), target.reshape(-1, win2))

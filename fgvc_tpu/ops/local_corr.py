@@ -39,14 +39,23 @@ def _band_indices(width: int, window: int) -> jax.Array:
     return w_ids + d_ids
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def local_correlation(tar: jax.Array, ref: jax.Array, radius: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("radius", "precision"))
+def local_correlation(
+    tar: jax.Array,
+    ref: jax.Array,
+    radius: int,
+    precision: str = "highest",
+) -> jax.Array:
     """Displacement-window correlation.
 
     Args:
       tar: (H, W, C) target features (the frame whose pixels we index by).
       ref: (H, W, C) reference features (the frame the window slides over).
       radius: max displacement R.
+      precision: 'highest' (f32 6-pass, eval-parity default) | 'high'
+        (bf16x3 — already tighter than the TF32 matmuls the reference's
+        A100 training used: torch 1.9 enables TF32 by default) | 'default'
+        (bf16).
 
     Returns:
       (H, W, 2R+1, 2R+1) raw dot products; entry [i, j, di, dj] pairs
@@ -65,7 +74,11 @@ def local_correlation(tar: jax.Array, ref: jax.Array, radius: int) -> jax.Array:
             tar,
             ref_slice,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision={
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT,
+            }[precision],
         )
         # extract the diagonal band: band[h, w, dj] = full[h, w, w + dj]
         band = jnp.take_along_axis(full, band_idx[None], axis=2)
