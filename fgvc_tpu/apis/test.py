@@ -193,41 +193,59 @@ def _pack_result(sample, out):
     }
 
 
-def _eval_tapvid_multidevice(tracker, dataset, ids, devices, output_dir):
-    """Round-robin videos over local devices with async dispatch; collect
-    in completion order behind a devices-deep in-flight window."""
+def _round_robin(ids, devices, dispatch_fn, collect_fn):
+    """The data-parallel in-flight window shared by every eval task:
+    dispatch video n on device n%D asynchronously, collect once D videos
+    are in flight (so all devices stay busy), drain at the end.
+
+    dispatch_fn(i, dslot) -> (payload, disp); collect_fn(i, dslot, payload,
+    disp) consumes one finished video."""
     from collections import deque
 
-    trackers = device_trackers(tracker, devices)
     D = len(devices)
     inflight: deque = deque()
+    for n, i in enumerate(ids):
+        payload, disp = dispatch_fn(i, n % D)
+        inflight.append((i, n % D, payload, disp))
+        while len(inflight) >= D:
+            collect_fn(*inflight.popleft())
+    while inflight:
+        collect_fn(*inflight.popleft())
+
+
+def _eval_tapvid_multidevice(tracker, dataset, ids, devices, output_dir):
+    """Round-robin videos over local devices with async dispatch; collect
+    behind a devices-deep in-flight window."""
+    trackers = device_trackers(tracker, devices)
     results = []
     t_start = time.time()
-    frames = 0
-    for n, i in enumerate(ids):
-        tr = trackers[n % D]
+    frames = [0]
+
+    def dispatch(i, dslot):
+        tr = trackers[dslot]
         sample = dataset[i]
-        feats = tr._features_padded(sample["video"], device=devices[n % D])
-        disp = tr.track_points_dispatch(
+        feats = tr._features_padded(sample["video"], device=devices[dslot])
+        frames[0] += len(sample["video"])
+        return sample, tr.track_points_dispatch(
             sample["video"], sample["query_points"], feats=feats
         )
-        inflight.append((i, n % D, sample, disp))
-        frames += len(sample["video"])
-        while len(inflight) >= D:
-            j, dslot, s, dp = inflight.popleft()
-            out = trackers[dslot].track_points_collect(dp)
-            results.append((j, _pack_result(s, out)))
-    while inflight:
-        j, dslot, s, dp = inflight.popleft()
+
+    def collect(j, dslot, sample, dp):
         out = trackers[dslot].track_points_collect(dp)
-        results.append((j, _pack_result(s, out)))
+        results.append((j, _pack_result(sample, out)))
+        if output_dir and not results[:-1]:
+            _write_track_video(
+                sample["video"], out["trajectories"], output_dir, j
+            )
+
+    _round_robin(ids, devices, dispatch, collect)
     dt = time.time() - t_start
     print(
-        f"[dp-eval] {len(ids)} videos / {frames} frames over {D} devices "
-        f"in {dt:.2f}s ({frames / max(dt, 1e-9):.1f} fps aggregate)",
+        f"[dp-eval] {len(ids)} videos / {frames[0]} frames over "
+        f"{len(devices)} devices in {dt:.2f}s "
+        f"({frames[0] / max(dt, 1e-9):.1f} fps aggregate)",
         flush=True,
     )
-    results.sort(key=lambda p: p[0])
     idxs, results = _merge_shards(results)
     return dataset.evaluate(results, output_dir=output_dir, indices=idxs)
 
@@ -257,31 +275,26 @@ def _heatmap_eval_loop(tracker, dataset, ids, devices=None):
     with `devices`, videos round-robin across local devices (the
     single-process data-parallel eval, like _eval_tapvid_multidevice)."""
     if devices is not None and len(devices) > 1:
-        from collections import deque
-
         trackers = device_trackers(tracker, devices)
-        D = len(devices)
-        inflight: deque = deque()
         out = []
-        for n, i in enumerate(ids):
-            tr = trackers[n % D]
+
+        def dispatch(i, dslot):
+            tr = trackers[dslot]
             sample = dataset[i]
             feats = tr._features_padded(
-                sample["video"], device=devices[n % D]
+                sample["video"], device=devices[dslot]
             )
-            disp = tr.track_heatmaps_dispatch(
+            return None, tr.track_heatmaps_dispatch(
                 sample["video"],
                 sample["ref_maps"],
                 tuple(sample["original_shape"]),
                 feats=feats,
             )
-            inflight.append((i, n % D, disp))
-            while len(inflight) >= D:
-                j, dslot, dp = inflight.popleft()
-                out.append((j, trackers[dslot].track_heatmaps_collect(dp)))
-        while inflight:
-            j, dslot, dp = inflight.popleft()
+
+        def collect(j, dslot, _payload, dp):
             out.append((j, trackers[dslot].track_heatmaps_collect(dp)))
+
+        _round_robin(ids, devices, dispatch, collect)
         return sorted(out, key=lambda p: p[0])
 
     def load(i):
@@ -346,34 +359,27 @@ def eval_vos(
     stats = []
     ids = _my_videos(len(dataset), rank, world, max_videos)
     if devices is not None and len(devices) > 1:
-        from collections import deque
-
         trackers = device_trackers(tracker, devices)
-        D = len(devices)
-        inflight: deque = deque()
 
-        def score(j, dslot, dp):
+        def dispatch(i, dslot):
+            sample = dataset[i]
+            return None, trackers[dslot].track_masks_dispatch(
+                sample["video"],
+                sample["first_mask"],
+                tuple(sample["original_shape"]),
+                sample["num_objects"],
+                device=devices[dslot],
+            )
+
+        def collect(j, dslot, _payload, dp):
             masks = trackers[dslot].track_masks_collect(dp)
             s = dataset.score_video(j, masks)
             if s is not None:
                 stats.append((j, s))
 
-        for n, i in enumerate(ids):
-            sample = dataset[i]
-            disp = trackers[n % D].track_masks_dispatch(
-                sample["video"],
-                sample["first_mask"],
-                tuple(sample["original_shape"]),
-                sample["num_objects"],
-                device=devices[n % D],
-            )
-            inflight.append((i, n % D, disp))
-            while len(inflight) >= D:
-                score(*inflight.popleft())
-        while inflight:
-            score(*inflight.popleft())
+        _round_robin(ids, devices, dispatch, collect)
         stats.sort(key=lambda p: p[0])
-        ids = []  # consumed
+        ids = []  # the loop below is the single-device path
     for i in ids:
         sample = dataset[i]
         masks = tracker.track_masks(
@@ -440,6 +446,11 @@ def run_task(
         tracker = build_tracker(cfg, checkpoint)
     devices = None
     if local_devices and local_devices > 1:
+        if model == "raft":
+            raise ValueError(
+                "--local-devices applies to the label-propagation tracker "
+                "only (RaftTracker has no dispatch/collect split yet)"
+            )
         devices = jax.local_devices()[:local_devices]
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset

@@ -43,6 +43,22 @@ def _bucket(n: int, b: int) -> int:
     return -(-n // b) * b
 
 
+def _put(x, device):
+    """device_put when pinned, plain asarray otherwise (explicit
+    device_put costs an extra tunnel round-trip on single-device runtimes).
+    """
+    return jax.device_put(x, device) if device is not None else jnp.asarray(x)
+
+
+def _dispatch_device(feats):
+    """The device small dispatch inputs must follow so multi-device
+    round-robin never mixes committed devices; None on single-device
+    runtimes (see _put)."""
+    if len(jax.local_devices()) > 1 and hasattr(feats, "devices"):
+        return next(iter(feats.devices()))
+    return None
+
+
 def _hard_onehot(seg_logit: jax.Array) -> jax.Array:
     """hard_prop re-encoding: argmax→one-hot over the channel axis
     (reference vanilla_tracker.py:762-765 — applied to bank entries only,
@@ -569,16 +585,10 @@ class Tracker:
 
         if feats is None:
             feats = self._features_padded(video)
-        # small host inputs follow the feature bank's device so multi-device
-        # round-robin dispatch never mixes committed devices; on a
-        # single-device runtime plain asarray avoids explicit device_put
-        # round-trips through the tunnel
-        dev = None
-        if len(jax.local_devices()) > 1 and hasattr(feats, "devices"):
-            dev = next(iter(feats.devices()))
+        dev = _dispatch_device(feats)
 
         def put(x):
-            return jax.device_put(x, dev) if dev is not None else jnp.asarray(x)
+            return _put(x, dev)
 
         ts = np.unique(query_points[:, 0].astype(np.int64))
         pending = []
@@ -739,10 +749,10 @@ class Tracker:
         if feats is None:
             feats = self._features_padded(video)
         h, w = feats.shape[1:3]
-        dev = next(iter(feats.devices())) if hasattr(feats, "devices") else None
+        dev = _dispatch_device(feats)
 
         def put(x):
-            return jax.device_put(x, dev) if dev is not None else jnp.asarray(x)
+            return _put(x, dev)
 
         p_pad = _bucket(P, cfg.point_bucket)
         maps = put(np.asarray(ref_maps, np.float32))
@@ -818,10 +828,7 @@ class Tracker:
         T = video.shape[0]
 
         def put(x):
-            return (
-                jax.device_put(x, device) if device is not None
-                else jnp.asarray(x)
-            )
+            return _put(x, device)
 
         if cfg.save_mem:
             # streaming mode: only the first frame's features are extracted
@@ -883,10 +890,7 @@ class Tracker:
         t_pad = _bucket(T, cfg.frame_bucket) + cfg.frame_bucket
 
         def put(x):
-            return (
-                jax.device_put(x, device) if device is not None
-                else jnp.asarray(x)
-            )
+            return _put(x, device)
 
         CH = 16
         if isinstance(video, np.ndarray) and T > CH:

@@ -61,6 +61,11 @@ def local_correlation(
       (H, W, 2R+1, 2R+1) raw dot products; entry [i, j, di, dj] pairs
       tar[i, j] with ref[i + di - R, j + dj - R].
     """
+    if precision not in ("highest", "high", "default"):
+        raise ValueError(
+            f"precision must be 'highest' | 'high' | 'default', got "
+            f"{precision!r}"
+        )
     H, W, C = tar.shape
     window = 2 * radius + 1
     ref_pad = jnp.pad(ref, ((radius, radius), (radius, radius), (0, 0)))

@@ -96,7 +96,7 @@ def main():
         type=int,
         default=None,
         help="single-process data-parallel eval over N local devices "
-             "(videos round-robin; TAP-Vid tasks)",
+             "(videos round-robin; all five tasks)",
     )
     args = parser.parse_args()
 
