@@ -49,6 +49,13 @@ def main():
     parser.add_argument("--val-videos", type=int, default=4)
     parser.add_argument("--synthetic-val", action="store_true",
                         help="mid-train eval smoke on synthetic shards")
+    parser.add_argument(
+        "--precision",
+        default=None,
+        choices=["highest", "high", "default"],
+        help="correlation matmul precision (high = bf16x3, tighter than "
+             "the reference's A100 TF32 training; highest = full f32)",
+    )
     parser.add_argument("--l1-weight", type=float, default=None,
                         help="reconstruction loss weight (config l1_loss)")
     parser.add_argument("--sup-weight", type=float, default=None,
@@ -99,6 +106,7 @@ def main():
             ("loss_weight_l1", args.l1_weight),
             ("loss_weight_sup", args.sup_weight),
             ("loss_weight_corr_da", args.corr_da_weight),
+            ("matmul_precision", args.precision),
         )
         if v is not None
     }
