@@ -67,15 +67,39 @@ def backward_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     return bilinear_sample(img, coords)
 
 
+def backward_warp_reference_quirk(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """The reference Warp module's MIXED-convention sampling
+    (warp.py:9-26,28-75): coordinates are normalized to [-1, 1] with the
+    align_corners=True formula (2p/(W-1) - 1) but grid_sample runs with
+    its DEFAULT align_corners=False — so the effective sample position is
+    p·W/(W-1) − 0.5 per axis (center fixed, ±0.5 px drift at the borders).
+    The module also multiplies by a HARD validity mask —
+    grid_sample(ones) > 0.9999 (warp.py:73-82) — zeroing any output whose
+    bilinear support touches outside the image instead of fading it.
+    The training occlusion masks (mixed_tracker.py:295,325 →
+    occlusion_estimation) carry both quirks; reproduced here for parity."""
+    H, W, _ = flow.shape
+    gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    tx = (gx + flow[..., 0]) * (W / (W - 1)) - 0.5
+    ty = (gy + flow[..., 1]) * (H / (H - 1)) - 0.5
+    coords = jnp.stack([tx, ty], axis=-1)
+    out = bilinear_sample(img, coords)
+    ones = jnp.ones((H, W, 1), img.dtype)
+    valid = bilinear_sample(ones, coords) > 0.9999
+    return out * valid.astype(img.dtype)
+
+
 def forward_backward_consistency(
     flow_fw: jax.Array, flow_bw: jax.Array
 ) -> jax.Array:
     """(H, W) float mask, 1 = consistent (non-occluded).
 
     occ = |f_fw + warp(f_bw, f_fw)|² < (f_fw*2 + warp(f_bw, f_fw)²)·0.01 + 0.5
-    — the reference's literal formula, ``flow_fw * 2`` quirk included.
+    — the reference's literal formula, ``flow_fw * 2`` quirk included, and
+    its mixed-convention Warp sampling (backward_warp_reference_quirk).
     """
-    warped_bw = backward_warp(flow_bw, flow_fw)
+    warped_bw = backward_warp_reference_quirk(flow_bw, flow_fw)
     sq_diff = jnp.sum((flow_fw + warped_bw) ** 2, axis=-1)
     sum_sq = jnp.sum(flow_fw * 2 + warped_bw**2, axis=-1)
     return (sq_diff < sum_sq * 0.01 + 0.5).astype(flow_fw.dtype)
@@ -85,8 +109,8 @@ def forward_backward_absdiff(
     flow_fw: jax.Array, flow_bw: jax.Array, diff: float = 1.5
 ) -> jax.Array:
     """(H, W) mask: |f_fw + warp(f_bw, f_fw)| < diff (fb_abs mode,
-    occlusion_estimation.py:122)."""
-    warped_bw = backward_warp(flow_bw, flow_fw)
+    occlusion_estimation.py:122; quirky Warp sampling included)."""
+    warped_bw = backward_warp_reference_quirk(flow_bw, flow_fw)
     sq = jnp.sum((flow_fw + warped_bw) ** 2, axis=-1)
     return (jnp.sqrt(sq) < diff).astype(flow_fw.dtype)
 
