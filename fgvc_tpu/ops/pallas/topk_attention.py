@@ -8,9 +8,10 @@ stays resident in VMEM, so everything happens in ONE pass:
 
   1. per key frame, DMA its halo window HBM→VMEM (double-buffered) and
      compute the affinity block on the MXU straight into a VMEM scratch,
-  2. exact top-k statistics by at most k rounds of DISTINCT-value
-     extraction (row-max → count ties → wipe all occurrences) on the VPU —
-     no bitonic sort, no affinity recompute, duplicate keys counted exactly,
+  2. exact top-k statistics by k+1 streamed VPU rounds: round r extracts
+     the r-th DISTINCT value (masked row-max) AND the cumulative
+     occurrence count of round r-1's value from the SAME read — no bitonic
+     sort, no affinity recompute, arbitrary ties counted exactly,
   3. per key frame, DMA its value halo and accumulate
      output += exp(aff − max)·[aff > kth] (+ fractional tie share) @ V —
      a dense MXU matmul instead of a scattered gather, reading the affinity
