@@ -229,6 +229,13 @@ def train_model(
             rng, sub = jax.random.split(rng)
             batch = shard_batch(batch, mesh)
             state, losses = step_fn(state, teacher_vars, batch, sub)
+            if cfg.check_numerics and not bool(losses["all_finite"]):
+                vals = {
+                    k: float(v) for k, v in losses.items() if k != "all_finite"
+                }
+                raise FloatingPointError(
+                    f"non-finite loss or gradient at step {step + 1}: {vals}"
+                )
             if teacher_ema is not None:
                 teacher_vars = ema_update(
                     teacher_vars, state.params["backbone"], teacher_ema

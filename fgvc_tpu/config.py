@@ -128,6 +128,13 @@ class TrainConfig:
     warmup: Optional[str] = None
     warmup_epochs: int = 10
     warmup_ratio: float = 0.1
+    # Numerics sanitizer — the reference trains with
+    # torch.autograd.set_detect_anomaly(True) unconditionally on
+    # (/root/reference/tools/train.py:69).  The jit-compatible equivalent:
+    # every step additionally reduces an all-gradients-finite flag, and the
+    # host loop raises FloatingPointError on the first non-finite step
+    # (which costs a per-step device sync — opt-in, like a sanitizer).
+    check_numerics: bool = False
     min_lr_ratio: float = 0.001
     batch_size: int = 4  # global batch (reference: 1/GPU × 4 GPUs)
     crop_size: int = 256

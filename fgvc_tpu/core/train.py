@@ -269,6 +269,16 @@ class MixedTrainer:
                 # unscale before clip/step (Fp16OptimizerHook order,
                 # opz_hook.py:74-155)
                 grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
+            if self.cfg.check_numerics:
+                # detect_anomaly equivalent (reference tools/train.py:69):
+                # one fused finite-reduction over every gradient leaf + the
+                # total loss; the host loop raises when it reads 0.
+                finite = [jnp.isfinite(losses["loss"])]
+                finite += [
+                    jnp.all(jnp.isfinite(g))
+                    for g in jax.tree_util.tree_leaves(grads)
+                ]
+                losses["all_finite"] = jnp.all(jnp.stack(finite))
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(

@@ -277,3 +277,58 @@ def test_batch_shuffle_roundtrip_on_mesh():
         shuffled, restored = roundtrip(xs, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(restored), x)
     assert not np.array_equal(np.asarray(shuffled), x)
+
+
+def test_check_numerics_flags_nonfinite_steps():
+    """The detect_anomaly equivalent (reference tools/train.py:69):
+    check_numerics adds an all-gradients-finite flag to the step losses —
+    true on a clean batch, false when the batch poisons the gradients."""
+    import dataclasses
+
+    import jax
+
+    from fgvc_tpu.core.train import MixedTrainer
+
+    cfg, _, state, teacher_vars, tx, batch_data = _tiny_setup()
+    trainer = MixedTrainer(dataclasses.replace(cfg, check_numerics=True))
+    step_fn = trainer.make_train_step(tx)
+    rng = jax.random.PRNGKey(1)
+
+    _, losses = step_fn(state, teacher_vars, batch_data, rng)
+    assert bool(losses["all_finite"])
+
+    poisoned = dict(batch_data)
+    poisoned["imgs_sup"] = batch_data["imgs_sup"].copy()
+    poisoned["imgs_sup"][0, 0, 0, 0, 0] = np.nan
+    # state was donated by the first call — rebuild
+    state2, teacher_vars2, tx2 = trainer.init(jax.random.PRNGKey(0), 10)
+    _, losses = trainer.make_train_step(tx2)(
+        state2, teacher_vars2, poisoned, rng
+    )
+    assert not bool(losses["all_finite"])
+
+
+def test_check_numerics_raises_in_train_loop(tmp_path):
+    """train_model raises FloatingPointError on the first poisoned batch."""
+    import dataclasses
+
+    import pytest
+
+    from fgvc_tpu.apis.train import train_model
+
+    cfg, _, _, _, _, batch_data = _tiny_setup(batch=8)
+    cfg = dataclasses.replace(cfg, check_numerics=True)
+    poisoned = dict(batch_data)
+    poisoned["flow"] = batch_data["flow"].copy()
+    poisoned["flow"][:] = np.inf
+
+    with pytest.raises(FloatingPointError, match="step 2"):
+        train_model(
+            cfg,
+            [batch_data, poisoned],
+            str(tmp_path),
+            steps_per_epoch=2,
+            max_steps=2,
+            log_interval=100,
+            resume=False,
+        )

@@ -67,6 +67,9 @@ def main():
     parser.add_argument("--loss-scale", type=float, default=1.0)
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize backbone activations (bigger batches)")
+    parser.add_argument("--check-numerics", action="store_true",
+                        help="raise on the first non-finite loss/gradient "
+                        "(detect_anomaly equivalent; costs a per-step sync)")
     parser.add_argument("--coordinator", default=None,
                         help="multi-host: jax.distributed coordinator address")
     parser.add_argument("--num-processes", type=int, default=None)
@@ -119,6 +122,7 @@ def main():
         grad_clip=args.grad_clip,
         loss_scale=args.loss_scale,
         remat=args.remat,
+        check_numerics=args.check_numerics,
         **weight_overrides,
     )
 
