@@ -42,10 +42,15 @@ def main():
     from fgvc_tpu.models.resnet import init_resnet_params, resnet18_d1
     from fgvc_tpu.models.tracker import Tracker
 
-    # Headline mode: pallas bf16 affinity — promoted by the synthetic
-    # accuracy study (docs/precision_study.md: Δ<D −0.11, bar 0.5); the
-    # f32-exact parity mode is measured alongside (exact_mode_fps).
-    cfg = dataclasses.replace(DAVIS_TEST_CFG, matmul_precision="default")
+    # Headline mode: pallas bf16 affinity + YUV420 upload — both promoted
+    # by the synthetic accuracy study (docs/precision_study.md: Δ<D −0.11
+    # for bf16, +0.07 for yuv420, bar 0.5); the f32-exact/RGB parity mode
+    # is measured alongside (exact_mode_fps).  YUV420 halves the
+    # host→device bytes (the tunnel is the e2e bottleneck; see
+    # tunnel_MBps below).
+    cfg = dataclasses.replace(
+        DAVIS_TEST_CFG, matmul_precision="default", upload_format="yuv420"
+    )
     cfg_exact = DAVIS_TEST_CFG
     model = resnet18_d1()
     variables = init_resnet_params(model, jax.random.PRNGKey(0), cfg.input_size)
@@ -161,8 +166,9 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
-                "headline_mode": "pallas-bf16 (study-promoted; "
-                "docs/precision_study.md; library default stays f32-exact)",
+                "headline_mode": "pallas-bf16 + yuv420 upload "
+                "(study-promoted; docs/precision_study.md; library default "
+                "stays f32-exact + rgb)",
                 "propagation_only_fps": round(prop_fps, 2),
                 "single_video_fps": round(sv_fps, 2),
                 "exact_mode_fps": round(exact_fps, 2),

@@ -159,14 +159,32 @@ def train_model(
         jax.random.PRNGKey(cfg.seed), steps_per_epoch
     )
     if teacher_init:
-        from fgvc_tpu.models.torch_convert import (
-            convert_resnet_state_dict,
-            load_torch_state_dict,
-        )
+        if os.path.isdir(teacher_init):
+            # an fgvc orbax checkpoint dir: the trained STUDENT of that run
+            # becomes this run's frozen teacher — the reference's staged
+            # recipe, where the mixed objective distills an earlier
+            # self-supervised encoder (mixed_tracker.py teacher pretrained
+            # path; configs/train/...py teacher backbone init)
+            prev_state, _, prev_step = restore_checkpoint(
+                teacher_init, state, teacher_vars
+            )
+            teacher_vars = {
+                "params": prev_state.params["backbone"],
+                "batch_stats": prev_state.batch_stats,
+            }
+            print(
+                f"teacher <- student of {teacher_init} (step {prev_step})",
+                flush=True,
+            )
+        else:
+            from fgvc_tpu.models.torch_convert import (
+                convert_resnet_state_dict,
+                load_torch_state_dict,
+            )
 
-        teacher_vars = convert_resnet_state_dict(
-            load_torch_state_dict(teacher_init)
-        )
+            teacher_vars = convert_resnet_state_dict(
+                load_torch_state_dict(teacher_init)
+            )
 
     start = 0
     best_metric = None

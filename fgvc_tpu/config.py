@@ -71,6 +71,13 @@ class TestConfig:
     # approximate modes).
     decode_impl: str = "upsample"
     tile: int = 32  # query tile edge for the tiled kernel
+    # Upload wire format (TPU-systems knob, no reference counterpart):
+    # 'rgb' = uint8 RGB (3 B/px, reference-exact pixels); 'yuv420' = I420
+    # chroma-subsampled planes (1.5 B/px — halves the host→device bytes,
+    # the eval bottleneck through this environment's tunnel link).  Source
+    # TAP-Vid videos are JPEG, i.e. already 4:2:0-subsampled; the measured
+    # metric delta is in docs/precision_study.md.
+    upload_format: str = "rgb"
     # 'highest' = full f32 on MXU (parity); 'default' = bf16 multiplies.
     matmul_precision: str = "highest"
     # 'exact' = lax.top_k + value gather (bit-parity with the reference);

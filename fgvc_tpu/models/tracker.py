@@ -34,7 +34,10 @@ import numpy as np
 
 from fgvc_tpu.config import TestConfig
 from fgvc_tpu.ops.attention import masked_topk_attention
-from fgvc_tpu.ops.color import preprocess_rgb_to_lab_normalized
+from fgvc_tpu.ops.color import (
+    preprocess_rgb_to_lab_normalized,
+    preprocess_yuv420_to_lab_normalized,
+)
 from fgvc_tpu.ops.grids import draw_gaussian_maps, soft_argmax_topk
 from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
 
@@ -114,12 +117,16 @@ class Tracker:
         T = video.shape[0]
         n = -(-T // chunk)
         pad = n * chunk - T
-        video = jnp.pad(video, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        video = jnp.pad(video, ((0, pad),) + ((0, 0),) * (video.ndim - 1))
         batches = video.reshape(n, chunk, *video.shape[1:])
 
         def body(_, imgs):
             if imgs.dtype == jnp.uint8:
-                imgs = preprocess_rgb_to_lab_normalized(imgs)
+                if imgs.ndim == 3:
+                    # I420 planes (upload_format='yuv420'): decode on device
+                    imgs = preprocess_yuv420_to_lab_normalized(imgs)
+                else:
+                    imgs = preprocess_rgb_to_lab_normalized(imgs)
             return None, self.apply_fn(self.variables, imgs)
 
         _, feats = jax.lax.scan(body, None, batches)
@@ -888,6 +895,20 @@ class Tracker:
         cfg = self.cfg
         T = video.shape[0]
         t_pad = _bucket(T, cfg.frame_bucket) + cfg.frame_bucket
+
+        if (
+            cfg.upload_format == "yuv420"
+            and isinstance(video, np.ndarray)
+            and video.dtype == np.uint8
+            and video.ndim == 4
+            and video.shape[1] % 2 == 0
+            and video.shape[2] % 2 == 0
+        ):
+            # halve the host→device bytes: I420 planes on the wire,
+            # decoded on device in _extract_impl (ops/color.py codec)
+            from fgvc_tpu.ops.color import rgb_to_yuv420_host
+
+            video = rgb_to_yuv420_host(video)
 
         def put(x):
             return _put(x, device)

@@ -57,6 +57,11 @@ def main():
         ("tiled bf16 + approx topk",
          {"attention_impl": "tiled", "topk_impl": "approx",
           "matmul_precision": "default"}),
+        # upload wire format (ops/color.py YUV420 codec): halves the
+        # host→device bytes; sources are JPEG (already 4:2:0)
+        ("pallas f32 + yuv420 upload", {"upload_format": "yuv420"}),
+        ("pallas bf16 + yuv420 upload",
+         {"matmul_precision": "default", "upload_format": "yuv420"}),
     ]
 
     rows = []

@@ -66,6 +66,14 @@ def main():
              "windowed upsample around the peak, or feature-res soft-argmax",
     )
     parser.add_argument(
+        "--upload-format",
+        default=None,
+        choices=["rgb", "yuv420"],
+        help="host->device wire format: raw uint8 RGB (3 B/px) or I420 "
+             "chroma-subsampled planes (1.5 B/px; sources are JPEG = "
+             "already 4:2:0 — delta measured in docs/precision_study.md)",
+    )
+    parser.add_argument(
         "--query-mode",
         default="first",
         choices=["first", "strided"],
@@ -129,6 +137,8 @@ def main():
         overrides["topk_impl"] = args.topk_impl
     if args.decode_impl:
         overrides["decode_impl"] = args.decode_impl
+    if args.upload_format:
+        overrides["upload_format"] = args.upload_format
     cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
     from fgvc_tpu.utils.profiler import trace
 

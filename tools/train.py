@@ -39,7 +39,10 @@ def main():
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("--lr", type=float, default=1e-3)
-    parser.add_argument("--teacher", default=None, help="teacher .pth")
+    parser.add_argument("--teacher", default=None,
+                        help="teacher init: torch .pth, or an fgvc checkpoint "
+                        "dir (its trained student becomes the frozen teacher "
+                        "— the reference's staged recipe)")
     parser.add_argument("--teacher-ema", type=float, default=None)
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
