@@ -332,3 +332,48 @@ def test_check_numerics_raises_in_train_loop(tmp_path):
             log_interval=100,
             resume=False,
         )
+
+
+def test_teacher_init_from_checkpoint_dir(tmp_path):
+    """teacher_init can point at an fgvc checkpoint dir: the saved STUDENT
+    backbone becomes the new run's frozen teacher (the reference's staged
+    recipe — the mixed objective distills an earlier self-supervised
+    encoder)."""
+    import jax
+
+    from fgvc_tpu.apis.train import train_model
+    from fgvc_tpu.config import TrainConfig
+    from fgvc_tpu.core.checkpoint import save_checkpoint
+    from fgvc_tpu.core.train import MixedTrainer
+
+    cfg = TrainConfig(radius=2, crop_size=16, batch_size=8)
+    trainer = MixedTrainer(cfg)
+    state, teacher_vars, _ = trainer.init(jax.random.PRNGKey(7), 10)
+    prev_dir = tmp_path / "prev"
+    ckpt = save_checkpoint(str(prev_dir), state, teacher_vars, 5)
+
+    rng = np.random.default_rng(4)
+    batch = {
+        "imgs": rng.standard_normal((8, 2, 16, 16, 3)).astype(np.float32),
+        "imgs_sup": rng.standard_normal((8, 2, 16, 16, 3)).astype(np.float32),
+        "flow": rng.standard_normal((8, 16, 16, 2)).astype(np.float32),
+        "flow_back": rng.standard_normal((8, 16, 16, 2)).astype(np.float32),
+    }
+    _, new_teacher = train_model(
+        cfg,
+        [batch],
+        str(tmp_path / "work"),
+        steps_per_epoch=1,
+        max_steps=1,
+        log_interval=100,
+        resume=False,
+        teacher_init=ckpt,
+    )
+    # the new teacher == the saved run's student backbone params
+    want = jax.device_get(state.params)["backbone"]
+    got = jax.device_get(new_teacher)["params"]
+    flat_w = jax.tree_util.tree_leaves(want)
+    flat_g = jax.tree_util.tree_leaves(got)
+    assert len(flat_w) == len(flat_g)
+    for a, b in zip(flat_w, flat_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
