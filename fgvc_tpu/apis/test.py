@@ -44,7 +44,10 @@ TASK_CONFIGS: Dict[str, TestConfig] = {
 
 
 def build_tracker(
-    test_cfg: TestConfig, checkpoint: Optional[str] = None, seed: int = 0
+    test_cfg: TestConfig,
+    checkpoint: Optional[str] = None,
+    seed: int = 0,
+    spatial_mesh=None,
 ) -> Tracker:
     """ResNet-18-d1 tracker; loads a torch .pth or an orbax dir if given."""
     model = resnet18_d1()
@@ -65,7 +68,10 @@ def build_tracker(
             model, jax.random.PRNGKey(seed), test_cfg.input_size
         )
     return Tracker(
-        lambda v, x: model.apply(v, x, train=False), variables, test_cfg
+        lambda v, x: model.apply(v, x, train=False),
+        variables,
+        test_cfg,
+        spatial_mesh=spatial_mesh,
     )
 
 
@@ -414,6 +420,7 @@ def run_task(
     model: str = "vanilla",
     query_mode: str = "first",
     local_devices: Optional[int] = None,
+    spatial_devices: Optional[int] = None,
 ) -> Dict[str, float]:
     """Mirror of `tools/test.py --task ...` (tools/test.py:121-198).
 
@@ -424,6 +431,10 @@ def run_task(
     sample_queries_strided, tapvid_evaluation_datasets.py:283); frames
     before a query stay zero-predicted, as in the reference's forward-only
     propagation, and the metrics switch to the strided protocol.
+
+    local_devices round-robins whole videos over local devices (throughput
+    scaling); spatial_devices instead shards each frame's query rows over a
+    'space' mesh (single-video latency scaling) — mutually exclusive.
     """
     from fgvc_tpu.parallel.dist import process_info
 
@@ -438,12 +449,33 @@ def run_task(
     if rank != 0:
         output_dir = None
     cfg = test_cfg or TASK_CONFIGS[task]
+    spatial_mesh = None
+    if spatial_devices and spatial_devices > 1:
+        if model == "raft":
+            raise ValueError(
+                "--spatial-devices applies to the label-propagation tracker"
+            )
+        if local_devices and local_devices > 1:
+            raise ValueError(
+                "--spatial-devices and --local-devices are mutually "
+                "exclusive scaling modes (rows-per-frame vs whole videos)"
+            )
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = jax.local_devices()[:spatial_devices]
+        if len(devs) < spatial_devices:
+            raise ValueError(
+                f"--spatial-devices {spatial_devices} > {len(jax.local_devices())}"
+                " local devices"
+            )
+        spatial_mesh = Mesh(_np.array(devs), ("space",))
     if model == "raft":
         if task not in ("davis", "kinetics"):
             raise ValueError("--model raft supports point-tracking tasks only")
         tracker = build_raft_tracker(checkpoint)
     else:
-        tracker = build_tracker(cfg, checkpoint)
+        tracker = build_tracker(cfg, checkpoint, spatial_mesh=spatial_mesh)
     devices = None
     if local_devices and local_devices > 1:
         if model == "raft":

@@ -81,10 +81,22 @@ class Tracker:
       test_cfg: propagation hyper-parameters.
     """
 
-    def __init__(self, apply_fn: Callable, variables, test_cfg: TestConfig):
+    def __init__(
+        self,
+        apply_fn: Callable,
+        variables,
+        test_cfg: TestConfig,
+        spatial_mesh=None,
+    ):
         self.apply_fn = apply_fn
         self.variables = variables
         self.cfg = test_cfg
+        # spatial-parallel propagation: a 1-axis jax.sharding.Mesh named
+        # 'space'; each frame's query ROWS are sharded over it (shard_map),
+        # the per-frame logits all_gather'ed over ICI to roll the value
+        # buffer — single-video latency scales with the mesh instead of
+        # only video-throughput (the --local-devices round-robin)
+        self.spatial_mesh = spatial_mesh
         self._extract = jax.jit(self._extract_impl, static_argnames=("chunk",))
         self._propagate = jax.jit(
             self._propagate_impl, static_argnames=("full_hw", "mask_shape")
@@ -102,6 +114,16 @@ class Tracker:
         self._forward_coords = jax.jit(
             self._forward_coords_impl, static_argnames=("full_hw",)
         )
+
+    def _sp_sharding(self):
+        """Replicated placement over the spatial mesh (None without one) —
+        inputs entering the sharded propagation must live on the mesh, not
+        committed to a single device."""
+        if self.spatial_mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.spatial_mesh, PartitionSpec())
 
     # ------------------------------------------------------------------ #
     # feature extraction
@@ -251,6 +273,28 @@ class Tracker:
             precision=cfg.matmul_precision,
         )
 
+    def _window_indices(self, t, T: int):
+        """Key-window bank indices + validity for query frame t (frame 0
+        slot first, then the `precede_frames` sliding window; with_first
+        and pre-video slots handled via the validity mask)."""
+        cfg = self.cfg
+        offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
+        win_idx = t + offs
+        win_valid = win_idx >= 0
+        idx = jnp.concatenate(
+            [jnp.zeros((1,), win_idx.dtype), jnp.clip(win_idx, 0, T - 1)]
+        )
+        # with_first=False: the frame-0 slot is invalidated, leaving only
+        # the preceding-frames window (reference key_start:frame_idx
+        # without the frame-0 concat, vanilla_tracker.py:353-362)
+        valid = jnp.concatenate(
+            [jnp.full((1,), cfg.with_first, bool), win_valid]
+        )
+        return idx, valid
+
+    def _bank_entry(self, seg_logit):
+        return _hard_onehot(seg_logit) if self.cfg.hard_prop else seg_logit
+
     def _scan_propagate(self, feats, first_value, mask_shape, emit):
         """Shared scan over frames 1..T-1.
 
@@ -261,6 +305,8 @@ class Tracker:
         sliced per tile straight from it — no per-step 6-frame key
         pad/concat/gather copies (~300 MB/frame of HBM traffic removed).
         """
+        if self.spatial_mesh is not None:
+            return self._scan_propagate_sp(feats, first_value, mask_shape, emit)
         cfg = self.cfg
         T, h, w, C = feats.shape
         non_mask_len = 0 if cfg.with_first_neighbor else 1
@@ -309,22 +355,9 @@ class Tracker:
                 feats = l2_normalize(feats)
 
         def window_indices(t):
-            offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
-            win_idx = t + offs
-            win_valid = win_idx >= 0
-            idx = jnp.concatenate(
-                [jnp.zeros((1,), win_idx.dtype), jnp.clip(win_idx, 0, T - 1)]
-            )
-            # with_first=False: the frame-0 slot is invalidated, leaving only
-            # the preceding-frames window (reference key_start:frame_idx
-            # without the frame-0 concat, vanilla_tracker.py:353-362)
-            valid = jnp.concatenate(
-                [jnp.full((1,), cfg.with_first, bool), win_valid]
-            )
-            return idx, valid
+            return self._window_indices(t, T)
 
-        def bank_entry(seg_logit):
-            return _hard_onehot(seg_logit) if cfg.hard_prop else seg_logit
+        bank_entry = self._bank_entry
 
         # Per-tile slices straight from the full bank are fastest for small
         # banks but degrade badly on multi-GB banks (TPU gather locality);
@@ -415,6 +448,160 @@ class Tracker:
             step = step_legacy
         _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
         return outs
+
+    def _scan_propagate_sp(self, feats, first_value, mask_shape, emit):
+        """Spatial-parallel propagation over `self.spatial_mesh`.
+
+        The TPU-native scaling mode the reference cannot express (its
+        multi-GPU story is DDP video-throughput only,
+        /root/reference/mmpt/apis/test.py): each frame's QUERY ROWS are
+        sharded over the mesh's 'space' axis with shard_map — every device
+        runs the windowed top-k kernel on its row block against the
+        replicated bank, and one (h, w, P) all_gather per frame (a few MB,
+        riding ICI) re-forms the logits so the rolling value buffer stays
+        identical to the single-device scan.  Results are bit-exact vs the
+        unsharded path (tests/test_spatial.py); single-video latency scales
+        with the mesh, complementing the --local-devices video round-robin.
+        """
+        cfg = self.cfg
+        mesh = self.spatial_mesh
+        n = int(np.prod(mesh.devices.shape))
+        if "space" not in mesh.axis_names:
+            raise ValueError("spatial_mesh needs an axis named 'space'")
+        if cfg.attention_impl not in ("pallas", "tiled"):
+            raise ValueError(
+                "spatial-parallel propagation supports attention_impl "
+                f"'pallas'/'tiled', not {cfg.attention_impl!r}"
+            )
+        if not cfg.with_first_neighbor:
+            raise ValueError(
+                "spatial-parallel propagation requires with_first_neighbor"
+            )
+        T, h, w, C = feats.shape
+        use_pallas = cfg.attention_impl == "pallas"
+        radius = cfg.neighbor_range // 2
+        halo = int(radius)
+        tile = min(cfg.tile, 16) if use_pallas else cfg.tile
+        Hp = _bucket(h, tile)
+        hb = _bucket(-(-Hp // n), tile)   # query rows per device
+        gridH = n * hb                    # padded row total across devices
+        Wp = _bucket(w, tile)
+        interp = jax.default_backend() == "cpu"
+
+        if use_pallas:
+            from fgvc_tpu.ops.pallas.topk_attention import (
+                fused_topk_attention_banked,
+                pad_key_bank_pallas,
+                pallas_compute_dtype,
+            )
+
+            compute_dtype = pallas_compute_dtype(cfg.matmul_precision)
+            bank_pad = pad_key_bank_pallas(
+                feats,
+                float(radius),
+                tile=tile,
+                normalize=cfg.with_norm,
+                compute_dtype=compute_dtype,
+                grid_rows=gridH,
+            )
+        else:
+            from fgvc_tpu.ops.windowed_attention import pad_key_bank
+
+            if cfg.with_norm:
+                bank_pad = pad_key_bank(
+                    feats, float(radius), tile, grid_rows=gridH
+                )
+            else:
+                bank_pad = jnp.pad(
+                    feats,
+                    (
+                        (0, 0),
+                        (halo, halo + gridH - h),
+                        (halo, halo + Wp - w),
+                        (0, 0),
+                    ),
+                )
+
+        def run(bank_pad, first_value, row0_arr):
+            row0 = row0_arr[0]
+
+            def step(value_buf, t):
+                idx, key_valid = self._window_indices(t, T)
+                values = jnp.concatenate(
+                    [first_value[None], value_buf], axis=0
+                )
+                if use_pallas:
+                    qblk = jax.lax.dynamic_slice(
+                        bank_pad, (t, halo + row0, halo, 0), (1, hb, Wp, C)
+                    )[0]
+                    seg_blk = fused_topk_attention_banked(
+                        qblk,
+                        bank_pad,
+                        values,
+                        frame_idx=idx.astype(jnp.int32),
+                        key_valid=key_valid,
+                        H=h,
+                        W=w,
+                        radius=float(radius),
+                        temperature=cfg.temperature,
+                        topk=cfg.topk,
+                        tile=tile,
+                        mask_shape=mask_shape,
+                        compute_dtype=compute_dtype,
+                        interpret=interp,
+                        row0=row0,
+                        grid_rows=gridH,
+                    )
+                else:
+                    qblk = jax.lax.dynamic_slice(
+                        bank_pad, (t, halo + row0, halo, 0), (1, hb, w, C)
+                    )[0]
+                    seg_blk = masked_topk_attention_tiled(
+                        qblk,
+                        bank_pad,
+                        values,
+                        radius=float(radius),
+                        temperature=cfg.temperature,
+                        topk=cfg.topk,
+                        normalize=False,
+                        tile=tile,
+                        mask_shape=mask_shape,
+                        key_valid=key_valid,
+                        precision=cfg.matmul_precision,
+                        topk_impl=cfg.topk_impl,
+                        frame_idx=idx,
+                        row_offset=row0,
+                        full_h=h,
+                        grid_rows=gridH,
+                    )
+                # ICI collective: re-form the full frame logits (row blocks
+                # past the real grid carry kernel garbage — sliced off here,
+                # before anything consumes them)
+                seg = jax.lax.all_gather(
+                    seg_blk, "space", axis=0, tiled=True
+                )[:h]
+                new_buf = jnp.concatenate(
+                    [value_buf[1:], self._bank_entry(seg)[None]], axis=0
+                )
+                return new_buf, emit(seg)
+
+            init_buf = jnp.tile(
+                first_value[None], (cfg.precede_frames, 1, 1, 1)
+            )
+            _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
+            return outs
+
+        from jax.sharding import PartitionSpec as PSpec
+
+        row0s = jnp.arange(n, dtype=jnp.int32) * hb
+        sharded = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(PSpec(), PSpec(), PSpec("space")),
+            out_specs=PSpec(),
+            check_vma=False,
+        )
+        return sharded(bank_pad, first_value, row0s)
 
     def _propagate_impl(
         self,
@@ -592,7 +779,7 @@ class Tracker:
 
         if feats is None:
             feats = self._features_padded(video)
-        dev = _dispatch_device(feats)
+        dev = self._sp_sharding() or _dispatch_device(feats)
 
         def put(x):
             return _put(x, dev)
@@ -756,7 +943,7 @@ class Tracker:
         if feats is None:
             feats = self._features_padded(video)
         h, w = feats.shape[1:3]
-        dev = _dispatch_device(feats)
+        dev = self._sp_sharding() or _dispatch_device(feats)
 
         def put(x):
             return _put(x, dev)
@@ -833,6 +1020,8 @@ class Tracker:
         `device` pins the work to one local device for data-parallel eval."""
         cfg = self.cfg
         T = video.shape[0]
+        if device is None:
+            device = self._sp_sharding()
 
         def put(x):
             return _put(x, device)
@@ -926,4 +1115,10 @@ class Tracker:
             feats = jnp.concatenate(parts, axis=0)[:T]
         else:
             feats = self.extract_features(put(video))
-        return jnp.pad(feats, ((0, t_pad - T), (0, 0), (0, 0), (0, 0)))
+        feats = jnp.pad(feats, ((0, t_pad - T), (0, 0), (0, 0), (0, 0)))
+        sp = self._sp_sharding()
+        if sp is not None:
+            # broadcast the bank onto the spatial mesh (ICI) so the sharded
+            # propagation sees mesh-placed operands, not a device-0 commit
+            feats = jax.device_put(feats, sp)
+        return feats

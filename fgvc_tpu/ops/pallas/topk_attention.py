@@ -88,11 +88,13 @@ def _make_kernel(
     FK = rows_pad * wpad       # keys per frame block (incl. masked pad)
     K = T * FK
 
-    def kernel(idx_ref, fb_ref, q_ref, k_hbm, v_hbm, out_ref,
+    def kernel(row0_ref, idx_ref, fb_ref, q_ref, k_hbm, v_hbm, out_ref,
                aff_ref, k_buf, v_buf, sem):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
-        r0 = ti * tile
+        # row0: global row origin of this query block (0 unless the caller
+        # runs a spatial-parallel row block — see fused_topk_attention_banked)
+        r0 = row0_ref[0] + ti * tile
         c0 = tj * tile
 
         q = q_ref[:].reshape(S, C)
@@ -401,13 +403,17 @@ def pad_key_bank_pallas(
     tile: int = 16,
     normalize: bool = True,
     compute_dtype: str = "float32",
+    grid_rows: Optional[int] = None,
 ) -> jax.Array:
     """Normalize + halo-pad a full per-video feature bank ONCE for banked
-    fused-kernel calls (roadmap item 3 — no per-step gathers)."""
+    fused-kernel calls (roadmap item 3 — no per-step gathers).
+
+    `grid_rows` over-pads the rows for spatial-parallel row blocks
+    (n_shards · rows_per_shard may exceed the single-grid padded height)."""
     H, W = bank.shape[1:3]
     halo = int(radius)
     win = tile + 2 * halo
-    Hp = _round_up(H, tile)
+    Hp = _round_up(H, tile) if grid_rows is None else grid_rows
     Wp = _round_up(W, tile)
     rows_pad = _round_up(win, 8)
     wpad = _round_up(win, 8)
@@ -430,7 +436,7 @@ def pad_key_bank_pallas(
     jax.jit,
     static_argnames=(
         "H", "W", "radius", "temperature", "topk", "tile", "mask_shape",
-        "compute_dtype", "interpret",
+        "compute_dtype", "interpret", "grid_rows",
     ),
 )
 def fused_topk_attention_banked(
@@ -449,14 +455,23 @@ def fused_topk_attention_banked(
     mask_shape: str = "circle",
     compute_dtype: str = "float32",
     interpret: bool = False,
+    row0: Optional[jax.Array] = None,
+    grid_rows: Optional[int] = None,
 ) -> jax.Array:
     """Bank-direct fused attention: keys are DMA'd per tile straight from the
-    pre-padded full bank at `frame_idx` — built for the propagation scan."""
+    pre-padded full bank at `frame_idx` — built for the propagation scan.
+
+    Spatial-parallel row-block mode (`row0` given): `qpad` is a row block of
+    the padded query grid whose global row origin is the traced scalar
+    `row0` (each shard_map participant passes its own), `kpad` comes from
+    pad_key_bank_pallas(..., grid_rows=grid_rows), and the result keeps all
+    block rows (shards all_gather then slice to H).  Block rows that fall
+    outside the real grid compute zeros (fully-masked softmax)."""
     T = value.shape[0]
     Cv = value.shape[-1]
     halo = int(radius)
     win = tile + 2 * halo
-    Hp = _round_up(H, tile)
+    Hp = _round_up(H, tile) if grid_rows is None else grid_rows
     Wp = _round_up(W, tile)
     Pp = _round_up(Cv, 128)
     rows_pad = _round_up(win, 8)
@@ -476,14 +491,14 @@ def fused_topk_attention_banked(
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
         tile=tile, mask_shape=mask_shape, dtype=qpad.dtype,
-        mode=compute_dtype, interpret=interpret,
+        mode=compute_dtype, interpret=interpret, row0=row0,
     )
 
 
 def _call_fused_kernel(
     qpad, kpad, vpad, *, frame_idx, key_valid, H, W, T, Cv,
     radius, temperature, topk, tile, mask_shape, dtype, interpret,
-    mode: str = "float32",
+    mode: str = "float32", row0: Optional[jax.Array] = None,
 ):
     if mode == "high" and qpad.dtype != jnp.float32:
         # bf16 operands would make the lo terms exactly zero — the caller
@@ -495,9 +510,11 @@ def _call_fused_kernel(
     C = qpad.shape[-1]
     halo = int(radius)
     win = tile + 2 * halo
-    Hp = _round_up(H, tile)
     Wp = _round_up(W, tile)
-    nth, ntw = Hp // tile, Wp // tile
+    # grid rows come from the query block itself: the full padded grid
+    # normally, a row block in spatial-parallel mode (row0 given)
+    sp_block = row0 is not None
+    nth, ntw = qpad.shape[0] // tile, Wp // tile
     Pp = vpad.shape[-1]
 
     if key_valid is not None:
@@ -525,12 +542,19 @@ def _call_fused_kernel(
         mode=mode,
     )
 
+    row0_smem = (
+        jnp.zeros((1,), jnp.int32)
+        if row0 is None
+        else jnp.asarray(row0, jnp.int32).reshape(1)
+    )
+
     S = tile * tile
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Pp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nth * tile, Wp, Pp), jnp.float32),
         grid=(nth, ntw),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -552,6 +576,8 @@ def _call_fused_kernel(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idx_smem, fb_smem, qpad, kpad, vpad)
+    )(row0_smem, idx_smem, fb_smem, qpad, kpad, vpad)
 
-    return out[:H, :W, :Cv]
+    # spatial-parallel row blocks return every block row (the caller
+    # gathers blocks across shards, then slices to the full grid height)
+    return out[:, :W, :Cv] if sp_block else out[:H, :W, :Cv]

@@ -80,6 +80,8 @@ def _gather_free_value_matmul(aff, w10, v_flat, prec):
         "mask_shape",
         "precision",
         "topk_impl",
+        "full_h",
+        "grid_rows",
     ),
 )
 def masked_topk_attention_tiled(
@@ -98,6 +100,9 @@ def masked_topk_attention_tiled(
     precision: str = "highest",
     topk_impl: str = "exact",
     frame_idx: Optional[jax.Array] = None,
+    row_offset: Optional[jax.Array] = None,
+    full_h: Optional[int] = None,
+    grid_rows: Optional[int] = None,
 ) -> jax.Array:
     """Drop-in equivalent of masked_topk_attention for non_mask_len == 0.
 
@@ -109,16 +114,26 @@ def masked_topk_attention_tiled(
     built once per video by pad_key_bank() — and the window's key frames are
     sliced per tile straight from it. This removes the per-step pad/concat/
     gather of the 6-frame key tensor (~300 MB of HBM copies per frame).
+
+    Row-block mode (`row_offset` given, spatial-parallel propagation):
+    `query` is a CONTIGUOUS ROW BLOCK of the full query grid starting at
+    global row `row_offset` (a traced scalar — each shard_map participant
+    passes its own); `full_h` is the full grid height (key-validity bounds)
+    and `grid_rows` the padded row total across all blocks (key/value
+    padding extent).  Rows at/below `full_h` compute garbage (their rows are
+    fully masked → NaN under softmax) — callers slice the gathered result to
+    `full_h` before use.
     """
     if mode not in ("softmax", "cosine"):
         raise ValueError(f"unknown mode {mode}")
     if topk_impl not in ("exact", "segmented", "certified", "approx"):
         raise ValueError(f"unknown topk_impl {topk_impl}")
-    H, W, C = query.shape
+    H, W, C = query.shape          # H = query-block rows (== full_h normally)
     T = value.shape[0] if frame_idx is not None else key.shape[0]
     Cv = value.shape[-1]
     prec = _PRECISIONS[precision]
 
+    fullH = H if full_h is None else full_h
     halo = int(radius)
     win = tile + 2 * halo
     S = tile * tile
@@ -126,7 +141,10 @@ def masked_topk_attention_tiled(
 
     Hp = -(-H // tile) * tile
     Wp = -(-W // tile) * tile
+    gridH = (-(-fullH // tile) * tile) if grid_rows is None else grid_rows
     nth, ntw = Hp // tile, Wp // tile
+    if row_offset is None:
+        row_offset = jnp.int32(0)
 
     if normalize:
         query = l2_normalize(query)
@@ -136,12 +154,14 @@ def masked_topk_attention_tiled(
     qpad = jnp.pad(query, ((0, Hp - H), (0, Wp - W), (0, 0)))
     if frame_idx is None:
         kpad = jnp.pad(
-            key, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
+            key,
+            ((0, 0), (halo, halo + gridH - fullH), (halo, halo + Wp - W), (0, 0)),
         )
     else:
-        kpad = key  # already padded bank (Tb, Hp+2halo, Wp+2halo, C)
+        kpad = key  # already padded bank (Tb, gridH+2halo, Wp+2halo, C)
     vpad = jnp.pad(
-        value, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
+        value,
+        ((0, 0), (halo, halo + gridH - fullH), (halo, halo + Wp - W), (0, 0)),
     )
 
     # static circle mask in tile-local coords: key global offset from the
@@ -164,10 +184,11 @@ def masked_topk_attention_tiled(
         frame_bias = jnp.zeros((T,), jnp.float32)
 
     def tile_fn(_, t_idx):
-        tr = (t_idx // ntw) * tile  # tile row origin (global)
+        tr_loc = (t_idx // ntw) * tile  # tile row origin (query-block local)
+        tr = row_offset + tr_loc        # tile row origin (global)
         tc = (t_idx % ntw) * tile
 
-        q_t = jax.lax.dynamic_slice(qpad, (tr, tc, 0), (tile, tile, C))
+        q_t = jax.lax.dynamic_slice(qpad, (tr_loc, tc, 0), (tile, tile, C))
         if frame_idx is None:
             k_t = jax.lax.dynamic_slice(kpad, (0, tr, tc, 0), (T, win, win, C))
         else:
@@ -192,7 +213,9 @@ def masked_topk_attention_tiled(
         # key validity: inside the un-padded image
         kgi = tr + ki - halo
         kgj = tc + kj - halo
-        in_bounds = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
+        in_bounds = (
+            (kgi >= 0) & (kgi <= fullH - 1) & (kgj >= 0) & (kgj <= W - 1)
+        )
         allowed = circle & in_bounds[None, :]  # (S, win²)
         bias = jnp.where(allowed[:, None, :], 0.0, ninf) + frame_bias[
             None, :, None
@@ -291,11 +314,20 @@ def masked_topk_attention_tiled(
     return out.reshape(Hp, Wp, Cv)[:H, :W]
 
 
-def pad_key_bank(bank: jax.Array, radius: float, tile: int = 32) -> jax.Array:
-    """Pre-normalize + halo-pad a (Tb, H, W, C) feature bank for bank mode."""
+def pad_key_bank(
+    bank: jax.Array,
+    radius: float,
+    tile: int = 32,
+    grid_rows: Optional[int] = None,
+) -> jax.Array:
+    """Pre-normalize + halo-pad a (Tb, H, W, C) feature bank for bank mode.
+
+    `grid_rows` over-pads the row extent for spatial-parallel row blocks
+    (n_shards · rows_per_shard may exceed the single-grid padded height).
+    """
     halo = int(radius)
     H, W = bank.shape[1:3]
-    Hp = -(-H // tile) * tile
+    Hp = (-(-H // tile) * tile) if grid_rows is None else grid_rows
     Wp = -(-W // tile) * tile
     bank = l2_normalize(bank)
     return jnp.pad(

@@ -106,6 +106,14 @@ def main():
         help="single-process data-parallel eval over N local devices "
              "(videos round-robin; all five tasks)",
     )
+    parser.add_argument(
+        "--spatial-devices",
+        type=int,
+        default=None,
+        help="spatial-parallel propagation: shard each frame's query rows "
+             "over N local devices (shard_map 'space' mesh; single-video "
+             "latency scaling — mutually exclusive with --local-devices)",
+    )
     args = parser.parse_args()
 
     import dataclasses
@@ -154,6 +162,7 @@ def main():
             model=args.model,
             query_mode=args.query_mode,
             local_devices=args.local_devices,
+            spatial_devices=args.spatial_devices,
         )
     print(json.dumps(results, indent=2, default=float))
 
