@@ -918,7 +918,11 @@ class Tracker:
             pts[: len(sel)] = query_points[sel][:, 1:]
             L_pad = _bucket(T - int(t), cfg.frame_bucket)
             feats_g = jax.lax.dynamic_slice_in_dim(feats, int(t), L_pad, axis=0)
-            coords = np.array(fwd(feats_g, jnp.asarray(pts), (H, W)))
+            # forward-warp tracking has no sharded variant; _put keeps the
+            # points co-placed with the (possibly mesh-replicated) features
+            coords = np.array(
+                fwd(feats_g, _put(pts, self._sp_sharding()), (H, W))
+            )
             traj[int(t):, sel] = coords[: T - int(t), : len(sel)]
         return {
             "trajectories": traj,
@@ -1020,6 +1024,12 @@ class Tracker:
         `device` pins the work to one local device for data-parallel eval."""
         cfg = self.cfg
         T = video.shape[0]
+        if cfg.save_mem and self.spatial_mesh is not None:
+            raise ValueError(
+                "spatial-parallel propagation does not cover save_mem "
+                "streaming yet (features are computed inside the scan); "
+                "use the banked path or drop spatial_mesh"
+            )
         if device is None:
             device = self._sp_sharding()
 

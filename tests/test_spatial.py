@@ -200,3 +200,37 @@ def test_sp_rejects_unsupported_modes():
     cfg = _sp_cfg(attention_impl="dense")
     with pytest.raises(ValueError, match="spatial-parallel"):
         Tracker(feat_fn, {}, cfg, spatial_mesh=mesh).track_points(video, qpts)
+
+    cfg = _sp_cfg(save_mem=True)
+    with pytest.raises(ValueError, match="save_mem"):
+        Tracker(feat_fn, {}, cfg, spatial_mesh=mesh).track_masks(
+            video, np.zeros((32, 32), np.int32), (32, 32), num_objects=1
+        )
+
+
+def test_sp_track_masks_and_forward_still_work():
+    """VOS propagation routes through the sp scan; the forward-warp path
+    (no sharded variant) stays correct with mesh-replicated features."""
+    from fgvc_tpu.models.tracker import Tracker
+
+    mesh = _space_mesh(2)
+    rng = np.random.default_rng(6)
+    T, H, W = 5, 32, 32
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+    mask0 = (rng.uniform(size=(32, 32)) > 0.6).astype(np.int32)
+    qpts = np.array([[0, 5.0, 7.0]], np.float32)
+
+    cfg = _sp_cfg()
+    feat_fn = _stride2_backbone(H, W, 4)
+    single = Tracker(feat_fn, {}, cfg)
+    sp = Tracker(feat_fn, {}, cfg, spatial_mesh=mesh)
+
+    np.testing.assert_array_equal(
+        sp.track_masks(video, mask0, (H, W), num_objects=1),
+        single.track_masks(video, mask0, (H, W), num_objects=1),
+    )
+    np.testing.assert_allclose(
+        sp.track_points_forward(video, qpts)["trajectories"],
+        single.track_points_forward(video, qpts)["trajectories"],
+        atol=1e-5,
+    )
