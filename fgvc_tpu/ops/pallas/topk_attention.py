@@ -292,13 +292,27 @@ def _make_kernel(
                 jnp.sign(aff - NEG / 2) + 1.0, 0.0, 1.0  # excluding masked
             )
             w = jnp.exp(jnp.minimum(aff - mmax, 0.0)) * (above + frac * at)
-            acc = acc + jax.lax.dot_general(
-                w,
-                v_buf[slot].reshape(FK, Pp),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            if mode == "bfloat16":
+                # throughput mode: native bf16 value matmul (f32 accum).
+                # Weights are softmax terms in [0, 1] and values are label
+                # probabilities — bf16 rounding is ~0.4% relative, inside
+                # the mode's existing affinity rounding; measured
+                # metric-neutral (docs/precision_study.md).
+                acc = acc + jax.lax.dot_general(
+                    w.astype(jnp.bfloat16),
+                    v_buf[slot].reshape(FK, Pp),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+            else:
+                acc = acc + jax.lax.dot_general(
+                    w,
+                    v_buf[slot].reshape(FK, Pp),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
             return acc
 
         acc = jax.lax.fori_loop(
@@ -508,6 +522,10 @@ def _call_fused_kernel(
             f"given bank is {qpad.dtype}"
         )
     C = qpad.shape[-1]
+    if mode == "bfloat16":
+        # bf16 value operand: halves the pass-C DMA bytes and runs the
+        # value matmul on the native bf16 MXU path
+        vpad = vpad.astype(jnp.bfloat16)
     halo = int(radius)
     win = tile + 2 * halo
     Wp = _round_up(W, tile)
@@ -569,7 +587,7 @@ def _call_fused_kernel(
         scratch_shapes=[
             pltpu.VMEM((S, K), jnp.float32),
             pltpu.VMEM((2, rows_pad, wpad, C), dtype),
-            pltpu.VMEM((2, rows_pad, wpad, Pp), jnp.float32),
+            pltpu.VMEM((2, rows_pad, wpad, Pp), vpad.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
