@@ -188,6 +188,50 @@ def test_sp_track_heatmaps_matches_single():
     np.testing.assert_allclose(sp, single, atol=1e-4)
 
 
+def test_sp_run_task_matches_single(tmp_path):
+    """Harness-level: tools/test.py --spatial-devices routes through
+    run_task -> build_tracker(spatial_mesh) -> the pipelined eval loop and
+    reproduces the unsharded metrics exactly (same random-init seed)."""
+    import dataclasses
+    import pickle
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
+
+    rng = np.random.default_rng(8)
+    root = tmp_path / "tapvid"
+    root.mkdir()
+    for v in range(2):
+        rec = {
+            "video": rng.integers(0, 256, (4, 24, 24, 3), dtype=np.uint8),
+            "points": rng.uniform(0.2, 0.8, (3, 4, 2)).astype(np.float32),
+            "occluded": np.zeros((3, 4), bool),
+        }
+        with open(root / f"vid{v}.pkl", "wb") as f:
+            pickle.dump(rec, f)
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["davis"],
+        input_size=(24, 24),
+        frame_bucket=4,
+        point_bucket=16,
+        neighbor_range=6,
+        tile=8,
+    )
+    single = run_task("davis", str(root), test_cfg=cfg)
+    sp = run_task("davis", str(root), test_cfg=cfg, spatial_devices=2)
+    assert sp["average_pts_within_thresh"] == pytest.approx(
+        single["average_pts_within_thresh"], abs=1e-6
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_task(
+            "davis", str(root), test_cfg=cfg,
+            spatial_devices=2, local_devices=2,
+        )
+
+
 def test_sp_rejects_unsupported_modes():
     from fgvc_tpu.models.tracker import Tracker
 
