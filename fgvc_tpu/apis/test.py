@@ -126,6 +126,12 @@ def device_trackers(tracker: Tracker, devices):
     """
     import jax as _jax
 
+    if tracker.spatial_mesh is not None:
+        raise ValueError(
+            "cannot round-robin an sp tracker over devices: spatial-"
+            "parallel propagation and per-device video dispatch are "
+            "mutually exclusive scaling modes"
+        )
     return [
         Tracker(
             tracker.apply_fn,

@@ -295,6 +295,51 @@ class Tracker:
     def _bank_entry(self, seg_logit):
         return _hard_onehot(seg_logit) if self.cfg.hard_prop else seg_logit
 
+    def _build_bank(self, feats, grid_rows: Optional[int] = None):
+        """Normalize + halo-pad the feature bank ONCE for the banked
+        kernels (shared by the unsharded and spatial-parallel scans).
+
+        Returns (bank_pad, tile, compute_dtype) — compute_dtype is None for
+        the tiled XLA path.  `grid_rows` over-pads the row extent for
+        spatial-parallel row blocks.
+        """
+        cfg = self.cfg
+        radius = cfg.neighbor_range // 2
+        halo = int(radius)
+        h, w = feats.shape[1:3]
+        if cfg.attention_impl == "pallas":
+            from fgvc_tpu.ops.pallas.topk_attention import (
+                pad_key_bank_pallas,
+                pallas_compute_dtype,
+            )
+
+            tile = min(cfg.tile, 16)
+            compute_dtype = pallas_compute_dtype(cfg.matmul_precision)
+            bank_pad = pad_key_bank_pallas(
+                feats,
+                float(radius),
+                tile=tile,
+                normalize=cfg.with_norm,
+                compute_dtype=compute_dtype,
+                grid_rows=grid_rows,
+            )
+            return bank_pad, tile, compute_dtype
+        from fgvc_tpu.ops.windowed_attention import pad_key_bank
+
+        tile = cfg.tile
+        if cfg.with_norm:
+            bank_pad = pad_key_bank(
+                feats, float(radius), tile, grid_rows=grid_rows
+            )
+        else:
+            Hp = grid_rows if grid_rows is not None else _bucket(h, tile)
+            Wp = _bucket(w, tile)
+            bank_pad = jnp.pad(
+                feats,
+                ((0, 0), (halo, halo + Hp - h), (halo, halo + Wp - w), (0, 0)),
+            )
+        return bank_pad, tile, None
+
     def _scan_propagate(self, feats, first_value, mask_shape, emit):
         """Shared scan over frames 1..T-1.
 
@@ -316,39 +361,18 @@ class Tracker:
         halo = int(radius)
 
         from fgvc_tpu.ops.attention import l2_normalize
-        from fgvc_tpu.ops.windowed_attention import (
-            masked_topk_attention_tiled,
-            pad_key_bank,
-        )
+        from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
 
         if pallas_bank:
             from fgvc_tpu.ops.pallas.topk_attention import (
                 fused_topk_attention_banked,
-                pad_key_bank_pallas,
-                pallas_compute_dtype,
             )
 
-            p_tile = min(cfg.tile, 16)
-            compute_dtype = pallas_compute_dtype(cfg.matmul_precision)
-            bank_pad = pad_key_bank_pallas(
-                feats,
-                float(radius),
-                tile=p_tile,
-                normalize=cfg.with_norm,
-                compute_dtype=compute_dtype,
-            )
+            bank_pad, p_tile, compute_dtype = self._build_bank(feats)
             Hp = _bucket(h, p_tile)
             Wp = _bucket(w, p_tile)
         elif bank_mode:
-            if cfg.with_norm:
-                bank_pad = pad_key_bank(feats, float(radius), cfg.tile)
-            else:
-                Hp = _bucket(h, cfg.tile)
-                Wp = _bucket(w, cfg.tile)
-                bank_pad = jnp.pad(
-                    feats,
-                    ((0, 0), (halo, halo + Hp - h), (halo, halo + Wp - w), (0, 0)),
-                )
+            bank_pad, _, _ = self._build_bank(feats)
         else:
             bank_pad = None
             if cfg.with_norm:
@@ -487,40 +511,17 @@ class Tracker:
         gridH = n * hb                    # padded row total across devices
         Wp = _bucket(w, tile)
         interp = jax.default_backend() == "cpu"
+        # same large-bank switch as the unsharded scan: past ~160 frames,
+        # per-tile slices from the full bank hit the TPU gather-locality
+        # pathology — gather the window's frames once per step instead
+        pure_bank = T <= 160
 
         if use_pallas:
             from fgvc_tpu.ops.pallas.topk_attention import (
                 fused_topk_attention_banked,
-                pad_key_bank_pallas,
-                pallas_compute_dtype,
             )
 
-            compute_dtype = pallas_compute_dtype(cfg.matmul_precision)
-            bank_pad = pad_key_bank_pallas(
-                feats,
-                float(radius),
-                tile=tile,
-                normalize=cfg.with_norm,
-                compute_dtype=compute_dtype,
-                grid_rows=gridH,
-            )
-        else:
-            from fgvc_tpu.ops.windowed_attention import pad_key_bank
-
-            if cfg.with_norm:
-                bank_pad = pad_key_bank(
-                    feats, float(radius), tile, grid_rows=gridH
-                )
-            else:
-                bank_pad = jnp.pad(
-                    feats,
-                    (
-                        (0, 0),
-                        (halo, halo + gridH - h),
-                        (halo, halo + Wp - w),
-                        (0, 0),
-                    ),
-                )
+        bank_pad, _, compute_dtype = self._build_bank(feats, grid_rows=gridH)
 
         def run(bank_pad, first_value, row0_arr):
             row0 = row0_arr[0]
@@ -556,9 +557,13 @@ class Tracker:
                     qblk = jax.lax.dynamic_slice(
                         bank_pad, (t, halo + row0, halo, 0), (1, hb, w, C)
                     )[0]
+                    if pure_bank:
+                        keys, fidx = bank_pad, idx
+                    else:
+                        keys, fidx = bank_pad[idx], jnp.arange(idx.shape[0])
                     seg_blk = masked_topk_attention_tiled(
                         qblk,
-                        bank_pad,
+                        keys,
                         values,
                         radius=float(radius),
                         temperature=cfg.temperature,
@@ -569,7 +574,7 @@ class Tracker:
                         key_valid=key_valid,
                         precision=cfg.matmul_precision,
                         topk_impl=cfg.topk_impl,
-                        frame_idx=idx,
+                        frame_idx=fidx,
                         row_offset=row0,
                         full_h=h,
                         grid_rows=gridH,
@@ -1030,6 +1035,11 @@ class Tracker:
                 "streaming yet (features are computed inside the scan); "
                 "use the banked path or drop spatial_mesh"
             )
+        # Under a spatial mesh the VIDEO stays on the default device (one
+        # tunnel upload + one backbone pass; _features_padded broadcasts
+        # the resulting bank over ICI) — only the small label arrays take
+        # the replicated mesh placement.
+        feat_device = device
         if device is None:
             device = self._sp_sharding()
 
@@ -1042,7 +1052,7 @@ class Tracker:
             f0 = self.extract_features(put(video[:1]))
             h, w = f0.shape[1:3]
         else:
-            feats = self._features_padded(video, device=device)
+            feats = self._features_padded(video, device=feat_device)
             h, w = feats.shape[1:3]
 
         labels = put(np.asarray(ref_mask, np.int32))

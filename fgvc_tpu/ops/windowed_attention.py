@@ -120,9 +120,9 @@ def masked_topk_attention_tiled(
     global row `row_offset` (a traced scalar — each shard_map participant
     passes its own); `full_h` is the full grid height (key-validity bounds)
     and `grid_rows` the padded row total across all blocks (key/value
-    padding extent).  Rows at/below `full_h` compute garbage (their rows are
-    fully masked → NaN under softmax) — callers slice the gathered result to
-    `full_h` before use.
+    padding extent).  Block rows whose GLOBAL row is >= `full_h` compute
+    garbage (fully masked → NaN under softmax) — callers slice the gathered
+    result to `full_h` before use.
     """
     if mode not in ("softmax", "cosine"):
         raise ValueError(f"unknown mode {mode}")

@@ -123,3 +123,51 @@ def test_underfull_topk_matches_tiled():
         )
     )
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_bfloat16_mode_sane():
+    """The promoted bf16 throughput mode (bf16 affinity matmul + bf16
+    pass-C value matmul/DMA): probability values must propagate as a
+    convex combination (rows sum to ~1), stay finite under the
+    duplicated-first-frame tie structure, and track the f32 kernel
+    closely wherever top-k membership is stable (loose mean tolerance —
+    individual pixels may flip near-tied members)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+
+    rng = np.random.default_rng(12)
+    H = W = 16
+    T, C, P = 4, 16, 5
+    q = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((T, H, W, C)), jnp.float32)
+    logits = rng.standard_normal((T, H, W, P)).astype(np.float32)
+    v = jnp.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+
+    o32 = np.asarray(
+        fused_topk_attention(
+            q, k, v, radius=4.0, temperature=1.0, topk=3, tile=8,
+            interpret=True,
+        )
+    )
+    ob = np.asarray(
+        fused_topk_attention(
+            q, k, v, radius=4.0, temperature=1.0, topk=3, tile=8,
+            compute_dtype="bfloat16", interpret=True,
+        )
+    )
+    assert np.isfinite(ob).all()
+    np.testing.assert_allclose(ob.sum(-1), 1.0, atol=1e-2)
+    assert np.abs(ob - o32).mean() < 0.01
+
+    # duplicated first frame (early-propagation tie structure)
+    kd = jnp.concatenate([k[:1]] * T, axis=0)
+    obd = np.asarray(
+        fused_topk_attention(
+            q, kd, v, radius=4.0, temperature=1.0, topk=3, tile=8,
+            compute_dtype="bfloat16", interpret=True,
+        )
+    )
+    assert np.isfinite(obd).all()
+    np.testing.assert_allclose(obd.sum(-1), 1.0, atol=1e-2)

@@ -64,7 +64,6 @@ def test_row_block_tiled_matches_full():
 
 
 def test_row_block_pallas_matches_full():
-    from fgvc_tpu.ops.attention import l2_normalize
     from fgvc_tpu.ops.pallas.topk_attention import (
         fused_topk_attention,
         fused_topk_attention_banked,
@@ -103,7 +102,6 @@ def test_row_block_pallas_matches_full():
         blocks.append(np.array(blk))
     asm = np.concatenate(blocks, 0)[:h]
     np.testing.assert_allclose(asm, np.array(full), atol=1e-6)
-    del l2_normalize  # imported for parity with the production call path
 
 
 # ------------------------------------------------------------------ #
