@@ -91,6 +91,11 @@ class Tracker:
         self.apply_fn = apply_fn
         self.variables = variables
         self.cfg = test_cfg
+        # Per-tile slices straight from the full bank are fastest for small
+        # banks but degrade badly on multi-GB banks (TPU gather locality);
+        # past this many frames, the tiled path gathers the window's padded
+        # frames once per step instead (tests override to force the branch)
+        self.pure_bank_max_frames = 160
         # spatial-parallel propagation: a 1-axis jax.sharding.Mesh named
         # 'space'; each frame's query ROWS are sharded over it (shard_map),
         # the per-frame logits all_gather'ed over ICI to roll the value
@@ -383,11 +388,7 @@ class Tracker:
 
         bank_entry = self._bank_entry
 
-        # Per-tile slices straight from the full bank are fastest for small
-        # banks but degrade badly on multi-GB banks (TPU gather locality);
-        # past the threshold, gather the window's padded frames once per
-        # step and slice tiles from that small array instead.
-        pure_bank = T <= 160
+        pure_bank = T <= self.pure_bank_max_frames
 
         def step_bank(value_buf, t):
             idx, key_valid = window_indices(t)
@@ -511,10 +512,9 @@ class Tracker:
         gridH = n * hb                    # padded row total across devices
         Wp = _bucket(w, tile)
         interp = jax.default_backend() == "cpu"
-        # same large-bank switch as the unsharded scan: past ~160 frames,
-        # per-tile slices from the full bank hit the TPU gather-locality
-        # pathology — gather the window's frames once per step instead
-        pure_bank = T <= 160
+        # same large-bank switch as the unsharded scan (gather the window's
+        # frames once per step instead of per-tile bank slices)
+        pure_bank = T <= self.pure_bank_max_frames
 
         if use_pallas:
             from fgvc_tpu.ops.pallas.topk_attention import (

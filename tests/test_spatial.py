@@ -230,6 +230,37 @@ def test_sp_run_task_matches_single(tmp_path):
         )
 
 
+def test_sp_large_bank_gather_mode_matches_pure_bank():
+    """Kinetics-scale banks switch the tiled path to per-step window
+    gathers (pure_bank off). Force the branch via pure_bank_max_frames and
+    check it agrees with the pure-bank result, sharded and unsharded."""
+    from fgvc_tpu.models.tracker import Tracker
+
+    mesh = _space_mesh(2)
+    rng = np.random.default_rng(7)
+    T, H, W = 6, 32, 32
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+    qpts = np.array([[0, 5.0, 7.0], [0, 20.0, 11.0]], np.float32)
+
+    cfg = _sp_cfg()
+    feat_fn = _stride2_backbone(H, W, 4)
+    ref = Tracker(feat_fn, {}, cfg).track_points(video, qpts)
+
+    gathered = Tracker(feat_fn, {}, cfg)
+    gathered.pure_bank_max_frames = 2
+    out = gathered.track_points(video, qpts)
+    np.testing.assert_allclose(
+        out["trajectories"], ref["trajectories"], atol=1e-4
+    )
+
+    sp_gathered = Tracker(feat_fn, {}, cfg, spatial_mesh=mesh)
+    sp_gathered.pure_bank_max_frames = 2
+    out = sp_gathered.track_points(video, qpts)
+    np.testing.assert_allclose(
+        out["trajectories"], ref["trajectories"], atol=1e-4
+    )
+
+
 def test_sp_rejects_unsupported_modes():
     from fgvc_tpu.models.tracker import Tracker
 
