@@ -1122,21 +1122,41 @@ class Tracker:
         def put(x):
             return _put(x, device)
 
+        upload = put
+        sp = self._sp_sharding()
         CH = 16
+        n_sp = (
+            int(np.prod(self.spatial_mesh.devices.shape))
+            if self.spatial_mesh is not None
+            else 0
+        )
+        if n_sp > 1 and CH % n_sp == 0:
+            # frame-parallel feature extraction over the sp mesh: each
+            # upload chunk is sharded over 'space' (same total tunnel
+            # bytes; the backbone runs batch-parallel over the frames);
+            # the final replicate below all_gathers the bank over ICI
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            chunk_sh = NamedSharding(
+                self.spatial_mesh, PartitionSpec("space")
+            )
+
+            def upload(x):  # noqa: F811
+                return jax.device_put(x, chunk_sh)
+
         if isinstance(video, np.ndarray) and T > CH:
             n = -(-T // CH)
             video_p = np.concatenate(
                 [video, np.zeros((n * CH - T, *video.shape[1:]), video.dtype)]
             )
             parts = [
-                self._extract(put(video_p[i * CH : (i + 1) * CH]))
+                self._extract(upload(video_p[i * CH : (i + 1) * CH]))
                 for i in range(n)
             ]
             feats = jnp.concatenate(parts, axis=0)[:T]
         else:
             feats = self.extract_features(put(video))
         feats = jnp.pad(feats, ((0, t_pad - T), (0, 0), (0, 0), (0, 0)))
-        sp = self._sp_sharding()
         if sp is not None:
             # broadcast the bank onto the spatial mesh (ICI) so the sharded
             # propagation sees mesh-placed operands, not a device-0 commit

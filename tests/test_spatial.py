@@ -166,6 +166,27 @@ def test_sp_track_points_pallas_matches_single():
     )
 
 
+def test_sp_long_video_sharded_upload_matches_single():
+    """T > 16 routes uploads through the chunked path; under an sp mesh
+    the chunks are sharded over 'space' (frame-parallel backbone) — the
+    extracted bank and trajectories must match the unsharded run."""
+    from fgvc_tpu.models.tracker import Tracker
+
+    mesh = _space_mesh(4)
+    rng = np.random.default_rng(9)
+    T, H, W = 20, 32, 32
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+    qpts = np.array([[0, 5.0, 7.0], [3, 20.0, 11.0]], np.float32)
+
+    cfg = _sp_cfg()
+    feat_fn = _stride2_backbone(H, W, 4)
+    single = Tracker(feat_fn, {}, cfg).track_points(video, qpts)
+    sp = Tracker(feat_fn, {}, cfg, spatial_mesh=mesh).track_points(video, qpts)
+    np.testing.assert_allclose(
+        sp["trajectories"], single["trajectories"], atol=1e-4
+    )
+
+
 def test_sp_track_heatmaps_matches_single():
     """Square mask (JHMDB/BADJA protocol) + uneven row split (h=16 over 3
     devices -> blocks of 8 with one pure-padding region)."""
