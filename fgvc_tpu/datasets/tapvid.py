@@ -33,6 +33,15 @@ from fgvc_tpu.core.metrics.tapvid import (
 
 def _decode_frames(video) -> np.ndarray:
     if len(video) and isinstance(video[0], bytes):
+        if video[0][:2] == b"\xff\xd8":  # JPEG magic
+            try:
+                # native threaded decode (csrc/fgpack.cpp): one GIL-free
+                # call for the whole video instead of a per-frame PIL loop
+                from fgvc_tpu.data_io.fgpack import decode_jpeg_batch
+
+                return decode_jpeg_batch(video)
+            except Exception:
+                pass  # fall back to PIL (build failure, mixed sizes, …)
         from PIL import Image
 
         return np.stack(

@@ -1118,6 +1118,8 @@ class Tracker:
             from fgvc_tpu.ops.color import rgb_to_yuv420_host
 
             video = rgb_to_yuv420_host(video)
+        # a (T, H*3//2, W) uint8 array is ALREADY I420 planes (e.g. the
+        # native loader's layout='i420' decode) — uploaded as-is
 
         def put(x):
             return _put(x, device)

@@ -104,16 +104,22 @@ def preprocess_rgb_to_lab_normalized(rgb_uint8: jax.Array) -> jax.Array:
 def rgb_to_yuv420_host(video: "_np.ndarray") -> "_np.ndarray":
     """(T, H, W, 3) or (H, W, 3) uint8 RGB → I420 planes (…, H*3//2, W).
 
-    Host-side (cv2, C-optimized — ~0.3 ms/frame at 256²); H and W must be
-    even.
+    Host-side; H and W must be even.  Prefers the native batch converter
+    (csrc/fgpack.cpp fgpack_rgb_to_i420_batch — bit-exact vs cv2, one
+    GIL-free call for the whole video); falls back to cv2 per frame.
     """
-    import cv2
+    try:
+        from fgvc_tpu.data_io.fgpack import rgb_to_i420_batch
 
-    if video.ndim == 3:
-        return cv2.cvtColor(video, cv2.COLOR_RGB2YUV_I420)
-    return _np.stack(
-        [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in video]
-    )
+        return rgb_to_i420_batch(video)
+    except Exception:
+        import cv2
+
+        if video.ndim == 3:
+            return cv2.cvtColor(video, cv2.COLOR_RGB2YUV_I420)
+        return _np.stack(
+            [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in video]
+        )
 
 
 def yuv420_to_rgb01(yuv: jax.Array) -> jax.Array:

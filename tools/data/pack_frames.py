@@ -26,6 +26,16 @@ def main():
     parser.add_argument("--root", required=True, help="dir of video subdirs")
     parser.add_argument("--out", required=True)
     parser.add_argument("--size", type=int, default=0, help="resize shorter side")
+    parser.add_argument(
+        "--codec",
+        choices=("raw", "jpeg"),
+        default="raw",
+        help="record codec: raw uint8 blobs, or JPEG (~13x smaller; the "
+        "native reader decodes them in its thread pool)",
+    )
+    parser.add_argument(
+        "--quality", type=int, default=95, help="JPEG quality (codec=jpeg)"
+    )
     args = parser.parse_args()
 
     import cv2
@@ -55,7 +65,7 @@ def main():
                 img = cv2.resize(img, (int(round(w * s)), int(round(h * s))))
             frames.append(img)
         out_path = os.path.join(args.out, f"{name}.fgpack")
-        n = write_fgpack(out_path, frames)
+        n = write_fgpack(out_path, frames, codec=args.codec, quality=args.quality)
         index[name] = {"path": f"{name}.fgpack", "frames": n}
         print(f"{name}: {n} frames")
     with open(os.path.join(args.out, "index.json"), "w") as f:
