@@ -118,6 +118,31 @@ def _merge_shards(pairs):
     return [p[0] for p in pairs], [p[1] for p in pairs]
 
 
+def _read_ahead(dataset, ids):
+    """Yield dataset[i] for i in ids, reading ONE video ahead on a worker
+    thread.
+
+    The eval loops interleave host work (dataset pickle/JPEG/resize) with
+    device work; without read-ahead the next video's decode sits exactly
+    in the device-idle gap after a video's results land.  cv2, the native
+    fgpack decoder, and numpy all release the GIL, so the worker genuinely
+    overlaps the main thread's JAX dispatch.  This is the TPU-host
+    equivalent of the reference's DataLoader worker processes
+    (/root/reference/mmpt/datasets/builder.py:96 workers_per_gpu)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = None
+        for n, i in enumerate(ids):
+            cur = fut.result() if fut is not None else dataset[i]
+            fut = (
+                ex.submit(dataset.__getitem__, ids[n + 1])
+                if n + 1 < len(ids)
+                else None
+            )
+            yield cur
+
+
 def device_trackers(tracker: Tracker, devices):
     """One Tracker clone per local device (variables replicated by
     device_put) — the single-process data-parallel eval fleet.  The
@@ -163,16 +188,18 @@ def eval_tapvid(
             tracker, dataset, ids, devices, output_dir
         )
 
-    def load(i):
-        sample = dataset[i]
+    reader = _read_ahead(dataset, ids)
+
+    def load():
+        sample = next(reader)
         has_feats = hasattr(tracker, "_features_padded")
         feats = tracker._features_padded(sample["video"]) if has_feats else None
         return sample, feats
 
-    nxt = load(ids[0]) if ids else None
+    nxt = load() if ids else None
     for n, i in enumerate(ids):
         sample, feats = nxt
-        nxt = load(ids[n + 1]) if n + 1 < len(ids) else None
+        nxt = load() if n + 1 < len(ids) else None
         t0 = time.time()
         out = tracker.track_points(
             sample["video"], sample["query_points"], feats=feats
@@ -309,8 +336,10 @@ def _heatmap_eval_loop(tracker, dataset, ids, devices=None):
         _round_robin(ids, devices, dispatch, collect)
         return sorted(out, key=lambda p: p[0])
 
-    def load(i):
-        sample = dataset[i]
+    reader = _read_ahead(dataset, ids)
+
+    def load():
+        sample = next(reader)
         feats = (
             tracker._features_padded(sample["video"])
             if hasattr(tracker, "_features_padded")
@@ -319,10 +348,10 @@ def _heatmap_eval_loop(tracker, dataset, ids, devices=None):
         return sample, feats
 
     out = []
-    nxt = load(ids[0]) if ids else None
+    nxt = load() if ids else None
     for n, i in enumerate(ids):
         sample, feats = nxt
-        nxt = load(ids[n + 1]) if n + 1 < len(ids) else None
+        nxt = load() if n + 1 < len(ids) else None
         coords = tracker.track_heatmaps(
             sample["video"],
             sample["ref_maps"],
@@ -392,8 +421,7 @@ def eval_vos(
         _round_robin(ids, devices, dispatch, collect)
         stats.sort(key=lambda p: p[0])
         ids = []  # the loop below is the single-device path
-    for i in ids:
-        sample = dataset[i]
+    for i, sample in zip(ids, _read_ahead(dataset, ids)):
         masks = tracker.track_masks(
             sample["video"],
             sample["first_mask"],

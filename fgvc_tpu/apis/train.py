@@ -241,7 +241,12 @@ def train_model(
         t0 = time.time()
         step = start
         last_logged = start
-        for batch in batches:
+        # host-side loader pipeline: batch n+1's augmentation/decode runs
+        # on a worker thread while step n executes on device (the
+        # reference's DataLoader-workers role; data_io/prefetch.py)
+        from fgvc_tpu.data_io.prefetch import prefetch_iter
+
+        for batch in prefetch_iter(batches, depth=2):
             if step >= total:
                 break
             rng, sub = jax.random.split(rng)

@@ -223,3 +223,33 @@ def test_vos_multidevice_dp_eval(fixtures):
     multi = eval_vos(tr, ds, devices=jax.devices()[:2])
     for k in single:
         assert multi[k] == pytest.approx(single[k], abs=1e-6), k
+
+
+def test_read_ahead_order_and_overlap():
+    """_read_ahead yields dataset[i] in id order, and reads index n+1 on a
+    worker thread (not the consumer thread)."""
+    import threading
+
+    from fgvc_tpu.apis.test import _read_ahead
+
+    main = threading.get_ident()
+    log = []
+
+    class DS:
+        def __getitem__(self, i):
+            log.append((i, threading.get_ident() == main))
+            return {"idx": i}
+
+    ids = [4, 2, 7, 0]
+    got = [s["idx"] for s in _read_ahead(DS(), ids)]
+    assert got == ids
+    # first read is synchronous (main thread); every later one is the
+    # worker's
+    assert log[0] == (4, True)
+    assert [t for _, t in log[1:]] == [False, False, False]
+    assert [i for i, _ in log] == ids
+
+    # partial consumption shuts the pool down cleanly
+    it = _read_ahead(DS(), ids)
+    next(it)
+    it.close()
