@@ -99,6 +99,18 @@ class TestConfig:
     radius_fine: int = 12
     # c2f query-pixel chunk (memory dial of the fine-stage gather)
     c2f_step: int = 256
+    # Visibility prediction for point tracking (track_points):
+    # 'none' = constant-zero visibilities — reference parity (the reference's
+    # VanillaTracker.forward_test returns no occlusion estimate, so its AJ/OA
+    # are degenerate; /root/reference/mmpt/models/trackers/
+    # vanilla_tracker.py:227-303); 'heatmap' = predict visibility from the
+    # propagated heatmap's peak response: a point counts visible at frame t
+    # when max(logits_t) / max(logits_query_frame) >= visibility_threshold.
+    # The peak is a free by-product of the propagation scan (one (h, w)
+    # reduction per point); the threshold is calibrated on synthetic MOVi
+    # scenes with ground-truth occlusion (docs/visibility_study.md).
+    visibility_mode: str = "none"
+    visibility_threshold: float = 0.25
 
 
 DAVIS_TEST_CFG = TestConfig(step=512)

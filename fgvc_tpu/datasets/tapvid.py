@@ -213,10 +213,13 @@ class TapVidDataset:
             )
             with open(path, "w", encoding="utf8") as f:
                 json.dump(summaries, f)
-            self._write_reports(summaries, agg, output_dir)
+            vis_predicted = any(
+                np.asarray(res["visibilities_pred"]).any() for res in results
+            )
+            self._write_reports(summaries, agg, output_dir, vis_predicted)
         return agg
 
-    def _write_reports(self, summaries, agg, output_dir):
+    def _write_reports(self, summaries, agg, output_dir, vis_predicted=False):
         """Reference-parity report artifacts (tapvid.py:316-350): per-point
         CSV, markdown metric table in result.txt, per-point figures."""
         import csv
@@ -235,15 +238,18 @@ class TapVidDataset:
         with open(os.path.join(output_dir, "result.txt"), "a") as f:
             f.write(f"\n## TAP-Vid {self.subset_name}\n\n")
             f.write("| metric | value |\n|---|---|\n")
-            # the tracker predicts NO visibilities (constant False, like the
-            # reference's zero visibilities_pred) — occlusion-dependent
-            # metrics are degenerate and labeled so the table can't be
-            # misread as real occlusion estimates
+            # under visibility_mode='none' the tracker predicts NO
+            # visibilities (constant False, like the reference's zero
+            # visibilities_pred) — occlusion-dependent metrics are then
+            # degenerate and labeled so the table can't be misread as real
+            # occlusion estimates.  With the heatmap-peak visibility mode
+            # the predictions are real and the tag is dropped.
             degenerate = ("occlusion_accuracy", "average_jaccard")
             for k, v in agg.items():
                 tag = (
                     " (degenerate: visibility not predicted)"
-                    if k in degenerate or k.startswith("jaccard_")
+                    if not vis_predicted
+                    and (k in degenerate or k.startswith("jaccard_"))
                     else ""
                 )
                 f.write(f"| {k}{tag} | {v:.4f} |\n")

@@ -91,6 +91,11 @@ class Tracker:
         self.apply_fn = apply_fn
         self.variables = variables
         self.cfg = test_cfg
+        if test_cfg.visibility_mode not in ("none", "heatmap"):
+            raise ValueError(
+                "visibility_mode must be 'none' or 'heatmap', got "
+                f"{test_cfg.visibility_mode!r}"
+            )
         # Per-tile slices straight from the full bank are fastest for small
         # banks but degrade badly on multi-GB banks (TPU gather locality);
         # past this many frames, the tiled path gathers the window's padded
@@ -615,9 +620,13 @@ class Tracker:
         full_hw: Tuple[int, int],
         mask_shape: str = "circle",
     ) -> jax.Array:
-        """Scan label propagation; returns (T, P, 2) decoded (x, y) coords
-        at full_hw resolution.  Index 0 is the feature-res decode of
-        init_maps (callers overwrite it with their reference-res decode)."""
+        """Scan label propagation; returns (T, P, 3) per-frame
+        (x, y, peak): coords decoded at full_hw resolution plus the
+        feature-res heatmap peak (the visibility confidence — a free
+        reduction over the propagated logits; see
+        TestConfig.visibility_mode).  Index 0 is the feature-res decode of
+        init_maps (callers overwrite its coords with their reference-res
+        decode; its peak is the per-point confidence denominator)."""
         H_full, W_full = full_hw
         P = init_maps.shape[0]
         first_value = jnp.transpose(init_maps, (1, 2, 0))  # (h, w, P)
@@ -626,17 +635,22 @@ class Tracker:
         stride_x = W_full / w
 
         def decode(logits_hw_p):
+            peak = jnp.max(logits_hw_p, axis=(0, 1))  # (P,) confidence
             if self.cfg.decode_impl == "coarse":
                 # feature-res soft-argmax scaled to full res (fast mode)
                 c = soft_argmax_topk(
                     jnp.transpose(logits_hw_p, (2, 0, 1)), topk=5
                 )
                 scaled = c * jnp.asarray([stride_x, stride_y], jnp.float32)
-                return jnp.where(c < 0, -1.0, scaled)
-            up = jax.image.resize(
-                logits_hw_p, (H_full, W_full, P), method="bilinear"
-            )
-            return soft_argmax_topk(jnp.transpose(up, (2, 0, 1)), topk=5)
+                coords = jnp.where(c < 0, -1.0, scaled)
+            else:
+                up = jax.image.resize(
+                    logits_hw_p, (H_full, W_full, P), method="bilinear"
+                )
+                coords = soft_argmax_topk(
+                    jnp.transpose(up, (2, 0, 1)), topk=5
+                )
+            return jnp.concatenate([coords, peak[:, None]], axis=-1)
 
         coords = self._scan_propagate(feats, first_value, mask_shape, decode)
         coords0 = decode(first_value)
@@ -758,11 +772,14 @@ class Tracker:
         coords = self._propagate_impl(feats_g, init_maps, full_hw)
 
         # frame 0 decodes from the FULL-res gaussian (the reference's
-        # seg_preds[0]), masked to (-1, -1) for padded points
+        # seg_preds[0]), masked to (-1, -1) for padded points; its peak
+        # column keeps the FEATURE-res init peak (the confidence ratio's
+        # denominator — what the propagation scan actually sees)
         full_maps = draw_gaussian_maps(pts, H, W, sigma=cfg.sigma, stride=1)
         full_maps = full_maps * valid[:, None, None].astype(full_maps.dtype)
         coords0 = soft_argmax_topk(full_maps, topk=5)
-        return jnp.concatenate([coords0[None], coords[1:]], axis=0)
+        row0 = jnp.concatenate([coords0, coords[0, :, 2:]], axis=-1)
+        return jnp.concatenate([row0[None], coords[1:]], axis=0)
 
     # ------------------------------------------------------------------ #
     # public API: point tracking (TAP-Vid protocol)
@@ -812,14 +829,28 @@ class Tracker:
         return {"pending": pending, "T": T, "P": P}
 
     def track_points_collect(self, disp: Dict) -> Dict[str, np.ndarray]:
-        """Fetch a dispatched forward-test's results to the host."""
+        """Fetch a dispatched forward-test's results to the host.
+
+        visibility_mode='heatmap' turns the per-frame heatmap peaks (third
+        coordinate column) into visibility flags: visible iff
+        peak_t / peak_query >= cfg.visibility_threshold.  Frames before a
+        point's query frame stay False (forward-only propagation, like the
+        reference).  'none' keeps constant-zero visibilities (reference
+        parity — vanilla_tracker.py predicts no occlusion)."""
         T, P = disp["T"], disp["P"]
+        cfg = self.cfg
         traj_pred = np.zeros((T, P, 2), dtype=np.float32)
+        vis_pred = np.zeros((T, P), dtype=bool)
         for t, sel, coords in disp["pending"]:
-            traj_pred[int(t):, sel] = np.array(coords)[: T - int(t), : len(sel)]
+            arr = np.array(coords)[: T - int(t), : len(sel)]
+            traj_pred[int(t):, sel] = arr[..., :2]
+            if cfg.visibility_mode == "heatmap":
+                peaks = arr[..., 2]
+                ratio = peaks / np.maximum(peaks[0], 1e-12)
+                vis_pred[int(t):, sel] = ratio >= cfg.visibility_threshold
         return {
             "trajectories": traj_pred,
-            "visibilities": np.zeros((T, P), dtype=bool),
+            "visibilities": vis_pred,
         }
 
     def track_points(
@@ -833,7 +864,9 @@ class Tracker:
         Mirrors VanillaTracker.forward_test (with_first=True): points are
         grouped by query frame; each group is propagated from its query frame
         to the end of the video.  Returns trajectories (T, P, 2) and
-        visibilities (T, P) (all zeros, like the reference).
+        visibilities (T, P) — all zeros like the reference under the default
+        visibility_mode='none'; real heatmap-peak visibility estimates under
+        'heatmap' (no reference counterpart; docs/visibility_study.md).
 
         `feats` lets the eval harness prefetch the next video's upload +
         feature extraction while the previous video propagates.
@@ -976,7 +1009,8 @@ class Tracker:
         return {"coords": coords, "coords0": coords0, "T": T, "P": P}
 
     def track_heatmaps_collect(self, disp: Dict) -> np.ndarray:
-        coords = np.array(disp["coords"])[: disp["T"], : disp["P"]]
+        # drop the peak column (visibility is a point-tracking output)
+        coords = np.array(disp["coords"])[: disp["T"], : disp["P"], :2]
         coords[0] = np.asarray(disp["coords0"])
         return coords
 

@@ -180,7 +180,7 @@ def test_c2f_propagation_wiring():
         tr = Tracker(lambda v, x: x, {}, cfg)
         coords[impl] = np.asarray(
             tr._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
-        )
+        )[..., :2]
     assert np.all(np.isfinite(coords["c2f"]))
     # both implementations track the -1 px/frame drift (full-res -2)
     gt = pts[None] - 2.0 * np.arange(T)[:, None, None] * np.array([1.0, 1.0])

@@ -37,7 +37,7 @@ def test_propagation_matches_reference_loop():
     tracker = Tracker(lambda v, x: x, {}, cfg)  # identity backbone (unused)
     coords = np.asarray(
         tracker._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
-    )
+    )[..., :2]
 
     # oracle: reference python loop + same upsample/decode
     bank = propagate_ref(
@@ -128,7 +128,7 @@ def test_propagation_pallas_matches_tiled():
         tr = Tracker(lambda v, x: x, {}, cfg)
         outs[impl] = np.asarray(
             tr._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
-        )
+        )[..., :2]
     np.testing.assert_allclose(
         outs["pallas"], outs["tiled"], rtol=1e-3, atol=5e-3
     )
@@ -201,7 +201,7 @@ def test_coarse_decode_close_to_upsample_decode():
         tr = Tracker(lambda v, x: x, {}, cfg)
         outs[mode] = np.asarray(
             tr._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
-        )
+        )[..., :2]
     d = np.abs(outs["coarse"][1:] - outs["upsample"][1:])
     assert d.max() < 5.0  # within ~2 coarse pixels at stride 2
     assert np.median(d) < 2.0
@@ -234,7 +234,7 @@ def test_with_first_false_drops_frame0_keys():
     tracker = Tracker(lambda v, x: x, {}, cfg)
     coords = np.asarray(
         tracker._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
-    )
+    )[..., :2]
     bank = propagate_ref(
         feats, init_maps, (H, W),
         precede_frames=cfg.precede_frames, topk=cfg.topk,
@@ -256,7 +256,7 @@ def test_with_first_false_drops_frame0_keys():
     tr_wf = Tracker(lambda v, x: x, {}, cfg_wf)
     coords_wf = np.asarray(
         tr_wf._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
-    )
+    )[..., :2]
     assert np.abs(coords - coords_wf).max() > 1e-3
 
 
@@ -286,7 +286,7 @@ def test_hard_prop_matches_oracle():
     tracker = Tracker(lambda v, x: x, {}, cfg)
     coords = np.asarray(
         tracker._propagate(jnp.asarray(feats), jnp.asarray(init_maps), (H, W))
-    )
+    )[..., :2]
     bank = propagate_ref(
         feats, init_maps, (H, W),
         precede_frames=cfg.precede_frames, topk=cfg.topk,

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Calibrate the heatmap-peak visibility estimator on synthetic MOVi data.
+
+The reference predicts no visibility at all (VanillaTracker returns
+constant-zero visibilities, vanilla_tracker.py:227-303), so its AJ/OA are
+degenerate.  TestConfig.visibility_mode='heatmap' predicts a point visible
+at frame t when the propagated heatmap retains at least
+`visibility_threshold` of its query-frame peak.  This study sweeps the
+threshold on MOVi scenes with ground-truth occlusion
+(tools/data/generate_movi.py) and writes docs/visibility_study.md.
+
+The tracker runs ONCE per video; raw peak ratios are thresholded offline,
+so the sweep costs one propagation pass regardless of grid size.
+
+Usage:
+  python tools/bench/visibility_study.py --data-root /root/data/movi_study \
+      [--checkpoint runs/convergence_staged_r3/best] [--max-videos 10]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
+
+THRESHOLDS = [
+    0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+    # peak ratios compress toward 1 (attention latches onto the best
+    # in-radius match and copies its value), so the high band is dense
+    0.85, 0.9, 0.925, 0.95, 0.975, 0.99,
+]
+
+
+def collect_raw(tracker, sample):
+    """One tracking pass; returns (traj, ratio, seen) with raw peak ratios
+    (mirrors Tracker.track_points_collect before thresholding)."""
+    import numpy as np
+
+    disp = tracker.track_points_dispatch(
+        sample["video"], sample["query_points"]
+    )
+    T, P = disp["T"], disp["P"]
+    traj = np.zeros((T, P, 2), np.float32)
+    ratio = np.zeros((T, P), np.float32)
+    seen = np.zeros((T, P), bool)  # frames at/after the query frame
+    for t, sel, coords in disp["pending"]:
+        arr = np.array(coords)[: T - int(t), : len(sel)]
+        traj[int(t):, sel] = arr[..., :2]
+        pk = arr[..., 2]
+        ratio[int(t):, sel] = pk / np.maximum(pk[0], 1e-12)
+        seen[int(t):, sel] = True
+    return traj, ratio, seen
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax dir or torch .pth; default = random init")
+    p.add_argument("--max-videos", type=int, default=10)
+    p.add_argument("--out", default="docs/visibility_study.md")
+    p.add_argument("--label", default=None,
+                   help="feature label for the report (default from ckpt)")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import numpy as np
+
+    from fgvc_tpu.apis.test import TASK_CONFIGS, build_tracker
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["davis"], visibility_mode="heatmap"
+    )
+    tracker = build_tracker(cfg, args.checkpoint)
+    ds = TapVidDataset(args.data_root, subset_name="movi")
+    n = min(args.max_videos, len(ds))
+
+    raw = []
+    for i in range(n):
+        sample = ds[i]
+        traj, ratio, seen = collect_raw(tracker, sample)
+        raw.append((sample, traj, ratio, seen))
+        print(f"[{i}] T={len(sample['video'])} done", flush=True)
+
+    def score(vis_fn):
+        results = [
+            {
+                "trajectories_gt": s["trajectories"],
+                "visibilities_gt": s["visibilities"],
+                "trajectories_pred": traj,
+                "visibilities_pred": vis_fn(ratio, seen),
+                "query_points": s["query_points"],
+            }
+            for s, traj, ratio, seen in raw
+        ]
+        return ds.evaluate(results)
+
+    rows = [
+        ("zeros (reference parity)", score(lambda r, s: np.zeros_like(s))),
+        ("all-visible from query on", score(lambda r, s: s)),
+    ]
+    for thr in THRESHOLDS:
+        rows.append(
+            (f"peak ratio >= {thr}", score(lambda r, s, t=thr: s & (r >= t)))
+        )
+
+    # pick the threshold maximizing OA (AJ as tiebreaker)
+    best = max(
+        rows[2:],
+        key=lambda kv: (
+            kv[1]["occlusion_accuracy"], kv[1]["average_jaccard"]
+        ),
+    )
+    label = args.label or (
+        "trained features" if args.checkpoint else "random-init features"
+    )
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    exists = os.path.exists(args.out)
+    with open(args.out, "a") as f:
+        if not exists:
+            f.write(
+                "# Heatmap-peak visibility calibration (synthetic MOVi"
+                " 256²)\n\n"
+                "Ground-truth occlusion from tools/data/generate_movi.py "
+                "scenes; DAVIS TestConfig, visibility_mode='heatmap'. "
+                "OA = occlusion accuracy, AJ = average jaccard, <D = "
+                "average_pts_within_thresh (threshold-independent). The "
+                "reference predicts no visibility (zeros row).\n"
+            )
+        f.write(f"\n## {label} ({n} scenes)\n\n")
+        f.write("| predictor | OA | AJ | <D |\n|---|---|---|---|\n")
+        for name, agg in rows:
+            f.write(
+                f"| {name} | {agg['occlusion_accuracy']:.3f} | "
+                f"{agg['average_jaccard']:.3f} | "
+                f"{agg['average_pts_within_thresh']:.3f} |\n"
+            )
+        f.write(
+            f"\nBest threshold by OA: **{best[0]}** "
+            f"(OA {best[1]['occlusion_accuracy']:.3f}, "
+            f"AJ {best[1]['average_jaccard']:.3f}).\n"
+        )
+    print(json.dumps({name: agg for name, agg in rows}, default=float))
+
+
+if __name__ == "__main__":
+    main()
