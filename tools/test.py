@@ -86,6 +86,20 @@ def main():
         help="VOS: argmax->one-hot re-encode the value bank each step",
     )
     parser.add_argument(
+        "--visibility-mode",
+        default=None,
+        choices=["none", "heatmap"],
+        help="point-tracking visibility prediction: none = constant zeros "
+             "(reference parity; AJ/OA degenerate), heatmap = peak-ratio "
+             "estimate (calibrated in docs/visibility_study.md)",
+    )
+    parser.add_argument(
+        "--visibility-threshold",
+        type=float,
+        default=None,
+        help="peak_t / peak_query ratio above which a point counts visible",
+    )
+    parser.add_argument(
         "--coordinator",
         default=None,
         help="multi-host: jax.distributed coordinator address "
@@ -98,6 +112,13 @@ def main():
         default=None,
         metavar="LOGDIR",
         help="write a jax.profiler device+host trace (TensorBoard/xprof)",
+    )
+    parser.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu"],
+        help="force a jax platform (the JAX_PLATFORMS env var is overridden "
+             "by device plugins in some environments; the config API wins)",
     )
     parser.add_argument(
         "--local-devices",
@@ -120,6 +141,8 @@ def main():
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
@@ -147,6 +170,10 @@ def main():
         overrides["decode_impl"] = args.decode_impl
     if args.upload_format:
         overrides["upload_format"] = args.upload_format
+    if args.visibility_mode:
+        overrides["visibility_mode"] = args.visibility_mode
+    if args.visibility_threshold is not None:
+        overrides["visibility_threshold"] = args.visibility_threshold
     cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
     from fgvc_tpu.utils.profiler import trace
 
