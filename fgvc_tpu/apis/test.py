@@ -196,16 +196,23 @@ def eval_tapvid(
         feats = tracker._features_padded(sample["video"]) if has_feats else None
         return sample, feats
 
+    from fgvc_tpu.utils.profiler import annotate
+
     nxt = load() if ids else None
     for n, i in enumerate(ids):
         sample, feats = nxt
-        nxt = load() if n + 1 < len(ids) else None
+        # named spans for --profile traces: upload+features vs propagation
+        # separate visually in trace_viewer (utils/profiler.annotate);
+        # load() dispatches the NEXT video's upload+backbone
+        with annotate("upload+features[next]"):
+            nxt = load() if n + 1 < len(ids) else None
         t0 = time.time()
-        out = tracker.track_points(
-            sample["video"], sample["query_points"], feats=feats
-        ) if feats is not None else tracker.track_points(
-            sample["video"], sample["query_points"]
-        )
+        with annotate(f"propagate[{i}]"):
+            out = tracker.track_points(
+                sample["video"], sample["query_points"], feats=feats
+            ) if feats is not None else tracker.track_points(
+                sample["video"], sample["query_points"]
+            )
         print(
             f"[{i}] T={len(sample['video'])} P={sample['query_points'].shape[0]}"
             f" {time.time() - t0:.2f}s",

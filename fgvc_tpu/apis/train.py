@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import signal
 import time
 from typing import Iterable, Optional
 
@@ -32,6 +33,27 @@ from fgvc_tpu.core.checkpoint import (
 )
 from fgvc_tpu.core.train import MixedTrainer
 from fgvc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def _sync_stop(local_flag: bool, world: int) -> bool:
+    """Agree on a stop decision across hosts.
+
+    On a multi-host run every process receives the scheduler's SIGTERM at
+    a slightly different time; if each host stopped on its OWN flag, one
+    could leave the lockstep step collectives a step before its peers and
+    the survivors would hang.  With world > 1 every host therefore calls
+    this every step (the allgather IS the agreement — a one-byte DCN
+    collective, noise next to a training step) and all hosts stop at the
+    same step boundary.  The reference has no preemption story at all
+    (SURVEY.md §5.3: no elastic launch, no signal handling).
+    """
+    if world > 1:
+        from jax.experimental import multihost_utils
+
+        return bool(
+            multihost_utils.process_allgather(np.asarray(local_flag)).any()
+        )
+    return local_flag
 
 
 @jax.jit
@@ -210,6 +232,28 @@ def train_model(
     total = max_steps or cfg.max_epochs * steps_per_epoch
     ckpt_interval = ckpt_interval or max(total // 2, 1)
 
+    # graceful preemption: TPU pods are routinely preempted with SIGTERM —
+    # finish the in-flight step, checkpoint, and exit cleanly so the next
+    # incarnation resumes exactly (orbax state includes Adam moments).
+    preempt = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempt["flag"] = True
+        print(
+            "SIGTERM: will checkpoint and stop at the step boundary",
+            flush=True,
+        )
+
+    import contextlib
+
+    _restore = contextlib.ExitStack()
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        _restore.callback(signal.signal, signal.SIGTERM, prev_sigterm)
+    except ValueError:  # not the main thread — run without the handler
+        pass
+    world = jax.process_count()
+
     log_path = os.path.join(work_dir, "train_log.jsonl")
     tb = None
     try:
@@ -234,7 +278,7 @@ def train_model(
         except Exception:
             wandb_run = None
 
-    with mesh:
+    with _restore, mesh:
         state = replicate(state, mesh)
         teacher_vars = replicate(teacher_vars, mesh)
         rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -324,5 +368,11 @@ def train_model(
                             f"[best @ {step}] {val_metric_key}={best_metric}",
                             flush=True,
                         )
+            if _sync_stop(preempt["flag"], world):
+                if step % ckpt_interval != 0 and step != total:
+                    path = save_checkpoint(work_dir, state, teacher_vars, step)
+                    print(f"preempted: saved {path}", flush=True)
+                print(f"preempted: stopping at step {step}", flush=True)
+                break
 
     return state, teacher_vars

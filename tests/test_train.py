@@ -377,3 +377,66 @@ def test_teacher_init_from_checkpoint_dir(tmp_path):
     assert len(flat_w) == len(flat_g)
     for a, b in zip(flat_w, flat_g):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """Graceful preemption: SIGTERM mid-run -> checkpoint at the step
+    boundary + clean return; a rerun resumes from the preempt step and
+    finishes.  The reference has no preemption story (SURVEY.md §5.3)."""
+    import signal
+
+    from fgvc_tpu.apis.train import train_model
+    from fgvc_tpu.config import TrainConfig
+    from fgvc_tpu.core.checkpoint import latest_checkpoint
+
+    cfg = TrainConfig(radius=2, crop_size=16, batch_size=8)
+    rng = np.random.default_rng(7)
+    batch = {
+        "imgs": rng.standard_normal((8, 2, 16, 16, 3)).astype(np.float32),
+        "imgs_sup": rng.standard_normal((8, 2, 16, 16, 3)).astype(np.float32),
+        "flow": rng.standard_normal((8, 16, 16, 2)).astype(np.float32),
+        "flow_back": rng.standard_normal((8, 16, 16, 2)).astype(np.float32),
+    }
+
+    def batches():
+        n = 0
+        while True:
+            n += 1
+            if n == 4:
+                # runs on the prefetch worker thread; Python still delivers
+                # the handler on the main thread — like an external SIGTERM
+                signal.raise_signal(signal.SIGTERM)
+            yield batch
+
+    prev = signal.getsignal(signal.SIGTERM)
+    train_model(
+        cfg,
+        batches(),
+        str(tmp_path),
+        steps_per_epoch=10,
+        max_steps=100,
+        ckpt_interval=1000,
+        log_interval=1000,
+        resume=False,
+    )
+    # handler restored, stopped early, checkpoint written at the stop step
+    assert signal.getsignal(signal.SIGTERM) is prev
+    path = latest_checkpoint(str(tmp_path))
+    assert path is not None
+    stop_step = int(path.rsplit("step_", 1)[1])
+    assert 1 <= stop_step < 100
+
+    # resume: exactly 2 more batches reach stop_step + 2 == max_steps,
+    # which only happens if the run really starts from the checkpoint
+    train_model(
+        cfg,
+        [batch, batch],
+        str(tmp_path),
+        steps_per_epoch=10,
+        max_steps=stop_step + 2,
+        ckpt_interval=1000,
+        log_interval=1000,
+        resume=True,
+    )
+    final = latest_checkpoint(str(tmp_path))
+    assert final is not None and final.endswith(f"step_{stop_step + 2}")

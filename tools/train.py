@@ -73,6 +73,9 @@ def main():
     parser.add_argument("--check-numerics", action="store_true",
                         help="raise on the first non-finite loss/gradient "
                         "(detect_anomaly equivalent; costs a per-step sync)")
+    parser.add_argument("--profile", default=None, metavar="LOGDIR",
+                        help="write a jax.profiler device+host trace "
+                             "(TensorBoard/xprof)")
     parser.add_argument("--coordinator", default=None,
                         help="multi-host: jax.distributed coordinator address")
     parser.add_argument("--num-processes", type=int, default=None)
@@ -159,19 +162,26 @@ def main():
         val_fn = make_synthetic_val_fn(args.work_dir, seed=args.seed)
     else:
         val_fn = None
-    train_model(
-        cfg,
-        batches,
-        args.work_dir,
-        steps_per_epoch=steps_per_epoch,
-        max_steps=args.max_steps,
-        resume=not args.no_resume,
-        teacher_init=args.teacher,
-        teacher_ema=args.teacher_ema,
-        val_fn=val_fn,
-        val_interval=args.val_interval
-        or (steps_per_epoch * max(cfg.max_epochs // 2, 1) if val_fn else None),
-    )
+    from fgvc_tpu.utils.profiler import trace
+
+    with trace(args.profile):
+        train_model(
+            cfg,
+            batches,
+            args.work_dir,
+            steps_per_epoch=steps_per_epoch,
+            max_steps=args.max_steps,
+            resume=not args.no_resume,
+            teacher_init=args.teacher,
+            teacher_ema=args.teacher_ema,
+            val_fn=val_fn,
+            val_interval=args.val_interval
+            or (
+                steps_per_epoch * max(cfg.max_epochs // 2, 1)
+                if val_fn
+                else None
+            ),
+        )
 
 
 if __name__ == "__main__":
