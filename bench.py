@@ -35,7 +35,66 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 REFERENCE_FPS_ESTIMATE = 20.0
 
 
+def wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """The v5e chip sits behind a shared tunnel that occasionally drops
+    (backend init then raises UNAVAILABLE or hangs).  Probe it in a
+    SUBPROCESS — a failed init can poison the parent's backend cache —
+    and wait for recovery up to FGVC_BENCH_BACKEND_WAIT seconds before
+    emitting an honest error record (value 0) instead of hanging the
+    bench harness."""
+    import os
+    import subprocess
+    import sys
+
+    max_wait_s = float(os.environ.get("FGVC_BENCH_BACKEND_WAIT", max_wait_s))
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=150,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(
+                        f"# backend recovered after {time.time() - t0:.0f}s",
+                        file=sys.stderr,
+                    )
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            print(
+                json.dumps(
+                    {
+                        "metric": "davis_propagation_frames_per_sec_per_chip",
+                        "value": 0.0,
+                        "unit": "frames/s",
+                        "vs_baseline": 0.0,
+                        "error": (
+                            "TPU backend unavailable for "
+                            f"{waited:.0f}s (tunnel outage) — no "
+                            "measurement possible; see BENCH_r02.json/"
+                            "README for the last recorded numbers"
+                        ),
+                    }
+                )
+            )
+            sys.exit(1)
+        print(
+            f"# backend unavailable (attempt {attempt}, {waited:.0f}s) — "
+            "retrying in 30s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+
+
 def main():
+    wait_for_backend()
     import dataclasses
 
     from fgvc_tpu.config import DAVIS_TEST_CFG
