@@ -66,10 +66,20 @@ def main():
     p.add_argument("--out", default="docs/visibility_study.md")
     p.add_argument("--label", default=None,
                    help="feature label for the report (default from ckpt)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax platform (env var is plugin-overridden)")
+    p.add_argument("--input-size", type=int, default=None,
+                   help="square input resolution override (e.g. 128 for a "
+                        "CPU-feasible provisional calibration; the DAVIS "
+                        "default is 256)")
+    p.add_argument("--attention-impl", default=None,
+                   help="TestConfig.attention_impl override (tiled on CPU)")
     args = p.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update(
         "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
     )
@@ -80,11 +90,16 @@ def main():
     from fgvc_tpu.apis.test import TASK_CONFIGS, build_tracker
     from fgvc_tpu.datasets.tapvid import TapVidDataset
 
-    cfg = dataclasses.replace(
-        TASK_CONFIGS["davis"], visibility_mode="heatmap"
-    )
+    over = {"visibility_mode": "heatmap"}
+    if args.input_size:
+        over["input_size"] = (args.input_size, args.input_size)
+    if args.attention_impl:
+        over["attention_impl"] = args.attention_impl
+    cfg = dataclasses.replace(TASK_CONFIGS["davis"], **over)
     tracker = build_tracker(cfg, args.checkpoint)
-    ds = TapVidDataset(args.data_root, subset_name="movi")
+    ds = TapVidDataset(
+        args.data_root, subset_name="movi", input_size=cfg.input_size
+    )
     n = min(args.max_videos, len(ds))
 
     raw = []
@@ -116,16 +131,21 @@ def main():
             (f"peak ratio >= {thr}", score(lambda r, s, t=thr: s & (r >= t)))
         )
 
-    # pick the threshold maximizing OA (AJ as tiebreaker)
+    # pick the threshold maximizing AJ (OA tiebreak).  OA is dominated by
+    # the majority class (most TAP-Vid points are visible most frames, so
+    # "always visible" already scores ~90 OA); average_jaccard is the
+    # benchmark's occlusion-aware headline and only improves when the
+    # predictor separates the classes.
     best = max(
         rows[2:],
         key=lambda kv: (
-            kv[1]["occlusion_accuracy"], kv[1]["average_jaccard"]
+            kv[1]["average_jaccard"], kv[1]["occlusion_accuracy"]
         ),
     )
     label = args.label or (
         "trained features" if args.checkpoint else "random-init features"
     )
+    label += f" @ {cfg.input_size[0]}²"
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     exists = os.path.exists(args.out)
     with open(args.out, "a") as f:
