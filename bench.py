@@ -53,7 +53,13 @@ def wait_for_backend(max_wait_s: float = 1800.0) -> None:
         attempt += 1
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [
+                    sys.executable,
+                    "-c",
+                    # assert the platform: a CPU fallback must NOT count
+                    # as recovery of the TPU this bench measures
+                    "import jax; assert jax.devices()[0].platform == 'tpu'",
+                ],
                 timeout=150,
                 capture_output=True,
             )

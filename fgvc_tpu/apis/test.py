@@ -43,21 +43,35 @@ TASK_CONFIGS: Dict[str, TestConfig] = {
 }
 
 
+def _restore_orbax(checkpoint: str):
+    """Restore an orbax checkpoint dir; a work_dir pointer FILE ('best' /
+    'latest' hold "step_N", written by apis/train.py) resolves to the
+    sibling step directory first."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    if os.path.isfile(checkpoint):
+        with open(checkpoint) as f:
+            target = f.read().strip()
+        checkpoint = os.path.join(os.path.dirname(checkpoint), target)
+    return ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
+
+
 def build_tracker(
     test_cfg: TestConfig,
     checkpoint: Optional[str] = None,
     seed: int = 0,
     spatial_mesh=None,
 ) -> Tracker:
-    """ResNet-18-d1 tracker; loads a torch .pth or an orbax dir if given."""
+    """ResNet-18-d1 tracker; loads a torch .pth, an orbax dir, or a
+    work_dir 'best'/'latest' pointer if given."""
     model = resnet18_d1()
     if checkpoint and checkpoint.endswith(".pth"):
         state = load_torch_state_dict(checkpoint)
         variables = convert_resnet_state_dict(state)
     elif checkpoint:
-        import orbax.checkpoint as ocp
-
-        variables = ocp.StandardCheckpointer().restore(checkpoint)
+        variables = _restore_orbax(checkpoint)
         if "backbone" in variables.get("params", {}):
             variables = {
                 "params": variables["params"]["backbone"],
@@ -89,9 +103,7 @@ def build_raft_tracker(checkpoint: Optional[str] = None, iters: int = 12, seed: 
 
         variables = convert_raft_state_dict(load_torch_state_dict(checkpoint))
     elif checkpoint:
-        import orbax.checkpoint as ocp
-
-        variables = ocp.StandardCheckpointer().restore(checkpoint)
+        variables = _restore_orbax(checkpoint)
     # official checkpoints carry a batch-normed context encoder
     cnet_norm = "batch" if variables and "batch_stats" in variables else "none"
     return RaftTracker(variables, iters=iters, seed=seed, cnet_norm=cnet_norm)

@@ -12,8 +12,8 @@ tracking; :663-831 heatmap/mask propagation) for TPU:
     reference's exact key set, including the duplicated first frame for
     t <= precede_frames,
   * heatmap upsampling + top-5 soft-argmax decode (or mask argmax) happen
-    on-device inside the scan, so only (T, P, 2) coordinates or (T, H, W)
-    label maps ever reach the host,
+    on-device inside the scan, so only (T, P, 3) (x, y, peak) rows or
+    (T, H, W) label maps ever reach the host,
   * variable video length / point count are handled by padding to static
     buckets; padded points decode to (-1, -1) and padded frames are dropped.
 
@@ -654,7 +654,7 @@ class Tracker:
 
         coords = self._scan_propagate(feats, first_value, mask_shape, decode)
         coords0 = decode(first_value)
-        return jnp.concatenate([coords0[None], coords], axis=0)  # (T, P, 2)
+        return jnp.concatenate([coords0[None], coords], axis=0)  # (T, P, 3)
 
     def _scan_propagate_streaming(self, video, first_value, mask_shape, emit):
         """save_mem propagation: NO full feature bank.
@@ -828,6 +828,16 @@ class Tracker:
             pending.append((t, sel, coords))
         return {"pending": pending, "T": T, "P": P}
 
+    @staticmethod
+    def peak_ratios(arr: np.ndarray) -> np.ndarray:
+        """Per-frame peak / query-frame-peak ratios for one propagated
+        group (arr: (T', n, 3) decode rows, row 0 = the query frame).
+        THE raw statistic behind visibility_mode='heatmap' — the
+        calibration study (tools/bench/visibility_study.py) must threshold
+        exactly what track_points_collect thresholds, so both call this."""
+        peaks = np.asarray(arr)[..., 2]
+        return peaks / np.maximum(peaks[0], 1e-12)
+
     def track_points_collect(self, disp: Dict) -> Dict[str, np.ndarray]:
         """Fetch a dispatched forward-test's results to the host.
 
@@ -845,8 +855,7 @@ class Tracker:
             arr = np.array(coords)[: T - int(t), : len(sel)]
             traj_pred[int(t):, sel] = arr[..., :2]
             if cfg.visibility_mode == "heatmap":
-                peaks = arr[..., 2]
-                ratio = peaks / np.maximum(peaks[0], 1e-12)
+                ratio = self.peak_ratios(arr)
                 vis_pred[int(t):, sel] = ratio >= cfg.visibility_threshold
         return {
             "trajectories": traj_pred,

@@ -253,3 +253,26 @@ def test_read_ahead_order_and_overlap():
     it = _read_ahead(DS(), ids)
     next(it)
     it.close()
+
+
+def test_restore_orbax_resolves_pointer_files(tmp_path):
+    """build_tracker checkpoint loading accepts a work_dir 'best'/'latest'
+    pointer FILE (holds "step_N") and resolves it to the sibling step dir
+    (the files apis/train.py writes)."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from fgvc_tpu.apis.test import _restore_orbax
+
+    payload = {"params": {"w": np.arange(4.0, dtype=np.float32)}}
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(str(tmp_path / "step_7"), payload)
+    ckpt.wait_until_finished()
+    (tmp_path / "best").write_text("step_7")
+
+    via_pointer = _restore_orbax(str(tmp_path / "best"))
+    via_dir = _restore_orbax(str(tmp_path / "step_7"))
+    np.testing.assert_array_equal(
+        np.asarray(via_pointer["params"]["w"]),
+        np.asarray(via_dir["params"]["w"]),
+    )

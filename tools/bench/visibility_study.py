@@ -51,8 +51,9 @@ def collect_raw(tracker, sample):
     for t, sel, coords in disp["pending"]:
         arr = np.array(coords)[: T - int(t), : len(sel)]
         traj[int(t):, sel] = arr[..., :2]
-        pk = arr[..., 2]
-        ratio[int(t):, sel] = pk / np.maximum(pk[0], 1e-12)
+        # the tracker's own ratio definition — calibrate exactly what
+        # track_points_collect will threshold
+        ratio[int(t):, sel] = type(tracker).peak_ratios(arr)
         seen[int(t):, sel] = True
     return traj, ratio, seen
 
@@ -168,9 +169,9 @@ def main():
                 f"{agg['average_pts_within_thresh']:.3f} |\n"
             )
         f.write(
-            f"\nBest threshold by OA: **{best[0]}** "
-            f"(OA {best[1]['occlusion_accuracy']:.3f}, "
-            f"AJ {best[1]['average_jaccard']:.3f}).\n"
+            f"\nBest threshold by AJ (OA is majority-class dominated): "
+            f"**{best[0]}** (AJ {best[1]['average_jaccard']:.3f}, "
+            f"OA {best[1]['occlusion_accuracy']:.3f}).\n"
         )
     print(json.dumps({name: agg for name, agg in rows}, default=float))
 
