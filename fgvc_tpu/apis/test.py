@@ -44,9 +44,14 @@ TASK_CONFIGS: Dict[str, TestConfig] = {
 
 
 def _restore_orbax(checkpoint: str):
-    """Restore an orbax checkpoint dir; a work_dir pointer FILE ('best' /
-    'latest' hold "step_N", written by apis/train.py) resolves to the
-    sibling step directory first."""
+    """Restore an orbax checkpoint dir as HOST numpy arrays.
+
+    A work_dir pointer FILE ('best' / 'latest' hold "step_N", written by
+    apis/train.py) resolves to the sibling step directory first.  Arrays
+    restore as np.ndarray (not jax.Array): a checkpoint saved on TPU
+    carries TPU shardings in its metadata, and a device-targeted restore
+    on a CPU-only host fails with 'Device TPU ... not found'; numpy is
+    device-agnostic and jit device-puts the variables on first use."""
     import os
 
     import orbax.checkpoint as ocp
@@ -55,7 +60,15 @@ def _restore_orbax(checkpoint: str):
         with open(checkpoint) as f:
             target = f.read().strip()
         checkpoint = os.path.join(os.path.dirname(checkpoint), target)
-    return ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(checkpoint)
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def build_tracker(

@@ -131,14 +131,29 @@ def main():
         rows.append(
             (f"peak ratio >= {thr}", score(lambda r, s, t=thr: s & (r >= t)))
         )
+    # variant: ratio relative to the point's RUNNING max — re-normalizes
+    # gradual global peak drift (lighting/feature decay) so only sudden
+    # drops count as occlusion.  Computable offline from the same raw
+    # ratios (cummax is per point, the query-peak denominator cancels).
+    # Informational: promoting it would need a new visibility_mode.
+    for thr in (0.5, 0.7, 0.8, 0.9, 0.95):
+        rows.append((
+            f"ratio/cummax >= {thr}",
+            score(
+                lambda r, s, t=thr: s
+                & (r >= t * np.maximum.accumulate(r, axis=0))
+            ),
+        ))
 
     # pick the threshold maximizing AJ (OA tiebreak).  OA is dominated by
     # the majority class (most TAP-Vid points are visible most frames, so
     # "always visible" already scores ~90 OA); average_jaccard is the
     # benchmark's occlusion-aware headline and only improves when the
     # predictor separates the classes.
+    # promotable = the query-ratio family only (what visibility_mode=
+    # 'heatmap' implements); cummax rows are informational
     best = max(
-        rows[2:],
+        rows[2:2 + len(THRESHOLDS)],
         key=lambda kv: (
             kv[1]["average_jaccard"], kv[1]["occlusion_accuracy"]
         ),
