@@ -107,10 +107,13 @@ class TestConfig:
     # propagated heatmap's peak response: a point counts visible at frame t
     # when max(logits_t) / max(logits_query_frame) >= visibility_threshold.
     # The peak is a free by-product of the propagation scan (one (h, w)
-    # reduction per point); the threshold is calibrated on synthetic MOVi
-    # scenes with ground-truth occlusion (docs/visibility_study.md).
+    # reduction per point).  The 0.5 default is the AJ-best threshold on
+    # synthetic MOVi scenes with ground-truth occlusion for BOTH random
+    # and trained features (docs/visibility_study.md; 128² CPU
+    # calibration — re-check at 256² on TPU before trusting it on real
+    # data).
     visibility_mode: str = "none"
-    visibility_threshold: float = 0.25
+    visibility_threshold: float = 0.5
 
 
 DAVIS_TEST_CFG = TestConfig(step=512)

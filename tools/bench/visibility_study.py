@@ -131,19 +131,12 @@ def main():
         rows.append(
             (f"peak ratio >= {thr}", score(lambda r, s, t=thr: s & (r >= t)))
         )
-    # variant: ratio relative to the point's RUNNING max — re-normalizes
-    # gradual global peak drift (lighting/feature decay) so only sudden
-    # drops count as occlusion.  Computable offline from the same raw
-    # ratios (cummax is per point, the query-peak denominator cancels).
-    # Informational: promoting it would need a new visibility_mode.
-    for thr in (0.5, 0.7, 0.8, 0.9, 0.95):
-        rows.append((
-            f"ratio/cummax >= {thr}",
-            score(
-                lambda r, s, t=thr: s
-                & (r >= t * np.maximum.accumulate(r, axis=0))
-            ),
-        ))
+    # A ratio-vs-RUNNING-max variant was measured and is mathematically
+    # identical to the query ratio: each propagation step is a convex
+    # combination of value-buffer entries in [0, 1], so the peak can only
+    # decay — the running max is always the query frame's 1.0 (verified:
+    # all 'ratio/cummax >= t' rows equal 'peak ratio >= t' exactly in the
+    # trained-features section of docs/visibility_study.md).
 
     # pick the threshold maximizing AJ (OA tiebreak).  OA is dominated by
     # the majority class (most TAP-Vid points are visible most frames, so
