@@ -16,3 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache for the suite: repeat runs skip recompiles
+# (the full suite spends most of its ~25 min compiling).  A dedicated
+# dir, NOT the shared TPU/bench cache: entries there include CPU AOT
+# results from other machine types, which XLA:CPU loads with
+# machine-feature-mismatch warnings.
+jax.config.update(
+    "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache_tests"
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
