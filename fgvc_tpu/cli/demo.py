@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Point-tracking demo on a raw frame directory (tools/demo.py equivalent,
+/root/reference/tools/demo.py).
+
+    python tools/demo.py --frames <dir-of-jpgs> --checkpoint ckpt.pth \
+        --points 30,40 120,200 --query-frame 0 --out demo.mp4
+
+Frames are resized to 256², tracked with the label-propagation tracker, and
+rendered with per-point trajectory tails.  With --grid N, an N×N grid of
+query points is used instead of explicit --points.
+
+--correspondence renders a frame-pair dense-match overlay (the notebook
+demo path) instead of a trajectory video.
+"""
+
+import argparse
+import glob
+import os
+
+
+import numpy as np
+
+
+def load_frames(frame_dir, size):
+    import cv2
+
+    paths = sorted(
+        glob.glob(os.path.join(frame_dir, "*.jpg"))
+        + glob.glob(os.path.join(frame_dir, "*.png"))
+    )
+    if not paths:
+        raise SystemExit(f"no frames in {frame_dir}")
+    frames = [
+        cv2.resize(
+            cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB),
+            (size, size),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        for p in paths
+    ]
+    return np.stack(frames)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="fgvc_tpu demo")
+    parser.add_argument("--frames", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--points", nargs="*", default=[])
+    parser.add_argument("--grid", type=int, default=0)
+    parser.add_argument("--query-frame", type=int, default=0)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--out", default="demo.mp4")
+    parser.add_argument("--correspondence", action="store_true")
+    parser.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu"],
+        help="force a jax platform (the JAX_PLATFORMS env var is overridden "
+             "by device plugins in some environments; the config API wins)",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from fgvc_tpu.apis.test import TASK_CONFIGS, build_tracker
+    from fgvc_tpu.utils.visualize import (
+        correspondence_overlay,
+        draw_trajectory_tails,
+        paint_point_track,
+        save_video,
+    )
+
+    video = load_frames(args.frames, args.size)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["davis"], input_size=(args.size, args.size)
+    )
+    tracker = build_tracker(cfg, args.checkpoint)
+
+    if args.correspondence:
+        import jax
+        import jax.numpy as jnp
+
+        from fgvc_tpu.ops.attention import non_local_attention
+
+        feats = tracker.extract_features(jnp.asarray(video[:2]))
+        h, w = feats.shape[1:3]
+        stride = args.size // h
+
+        @jax.jit
+        def best_match(f0, f1):
+            aff = non_local_attention(f0, f1, temperature=0.001)
+            return jnp.argmax(aff, axis=-1)  # argmax only crosses the link
+
+        best = np.asarray(best_match(feats[0], feats[1]))
+        rng = np.random.default_rng(0)
+        idx = rng.choice(h * w, size=64, replace=False)
+        matches = np.stack(
+            [
+                (idx % w) * stride,
+                (idx // w) * stride,
+                (best[idx] % w) * stride,
+                (best[idx] // w) * stride,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        out_img = correspondence_overlay(video[0], video[1], matches)
+        import cv2
+
+        cv2.imwrite(args.out, cv2.cvtColor(out_img, cv2.COLOR_RGB2BGR))
+        print(f"wrote {args.out}")
+        return
+
+    if args.grid:
+        xs = np.linspace(16, args.size - 16, args.grid)
+        pts = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2)
+    elif args.points:
+        pts = np.array(
+            [[float(v) for v in p.split(",")] for p in args.points]
+        )
+    else:
+        raise SystemExit("give --points x,y ... or --grid N")
+
+    query_points = np.concatenate(
+        [np.full((len(pts), 1), args.query_frame, np.float32), pts], axis=1
+    ).astype(np.float32)
+
+    out = tracker.track_points(video, query_points)
+    tracks = np.transpose(out["trajectories"], (1, 0, 2))  # (P, T, 2)
+    vid = paint_point_track(video, tracks)
+    vid = draw_trajectory_tails(vid, tracks)
+    save_video(vid, args.out)
+    print(f"wrote {args.out} ({video.shape[0]} frames, {len(pts)} points)")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,20 +36,35 @@ _LAYOUTS = {"hwc": 0, "i420": 1}
 _LIB = None
 
 
-def _lib_path() -> str:
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(root, "csrc", "libfgpack.so")
-
-
 def _src_path() -> str:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(root, "csrc", "fgpack.cpp")
+    src = os.path.join(root, "csrc", "fgpack.cpp")
+    if not os.path.exists(src):
+        raise FileNotFoundError(
+            "csrc/fgpack.cpp not found — the native fgpack reader needs a "
+            "source checkout (pip install -e .); wheel installs fall back "
+            "to the pure-python readers"
+        )
+    return src
+
+
+def _lib_path() -> str:
+    src_dir = os.path.dirname(_src_path())
+    if os.access(src_dir, os.W_OK):
+        return os.path.join(src_dir, "libfgpack.so")
+    # site-packages may be read-only; build into a per-user cache instead
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "fgvc_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libfgpack.so")
 
 
 def build_library(force: bool = False) -> str:
     """Compile csrc/fgpack.cpp into libfgpack.so (cached)."""
-    lib = _lib_path()
     src = _src_path()
+    lib = _lib_path()
     if force or not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-o", lib, src,

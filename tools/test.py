@@ -1,198 +1,14 @@
 #!/usr/bin/env python
-"""Evaluation CLI — the tools/test.py of the framework.
+"""Thin launcher for `fgvc_tpu.cli.test` (kept so the reference-style
+`python tools/test.py ...` invocation works from a source checkout without
+installing the package; the installed console script is `fgvc-test`)."""
 
-Mirrors the reference interface (/root/reference/tools/test.py):
-
-    python tools/test.py --task davis --data-root <dir> [--checkpoint ckpt.pth]
-
-Tasks: davis / kinetics (TAP-Vid point tracking), jhmdb / badja (keypoint
-PCK), vos (DAVIS J&F mask propagation).  Torch .pth checkpoints from the
-reference release are converted on the fly.
-"""
-
-import argparse
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def main():
-    parser = argparse.ArgumentParser(description="fgvc_tpu evaluation")
-    parser.add_argument(
-        "--task",
-        required=True,
-        choices=["davis", "kinetics", "jhmdb", "badja", "vos"],
-    )
-    parser.add_argument("--data-root", required=True)
-    parser.add_argument("--list-path", default=None)
-    parser.add_argument("--checkpoint", default=None)
-    parser.add_argument(
-        "--model",
-        default="vanilla",
-        choices=["vanilla", "raft"],
-        help="vanilla = label-propagation tracker; raft = flow-chaining baseline",
-    )
-    parser.add_argument("--max-videos", type=int, default=None)
-    parser.add_argument("--output-dir", default="eval_results")
-    parser.add_argument(
-        "--precision",
-        default="highest",
-        choices=["highest", "high", "default"],
-        help="affinity matmul precision (default = bf16 multiplies)",
-    )
-    parser.add_argument(
-        "--save-mem",
-        action="store_true",
-        help="stream features inside the scan (full-res VOS, long videos)",
-    )
-    parser.add_argument(
-        "--attention-impl",
-        default=None,
-        choices=["pallas", "tiled", "dense", "c2f"],
-    )
-    parser.add_argument(
-        "--topk-impl",
-        default=None,
-        choices=["exact", "segmented", "certified", "approx"],
-        help="XLA-path top-k implementation (pallas path is always exact)",
-    )
-    parser.add_argument(
-        "--decode-impl",
-        default=None,
-        choices=["upsample", "window", "coarse"],
-        help="coordinate decode: full-res upsample (reference-exact), "
-             "windowed upsample around the peak, or feature-res soft-argmax",
-    )
-    parser.add_argument(
-        "--upload-format",
-        default=None,
-        choices=["rgb", "yuv420"],
-        help="host->device wire format: raw uint8 RGB (3 B/px) or I420 "
-             "chroma-subsampled planes (1.5 B/px; sources are JPEG = "
-             "already 4:2:0 — delta measured in docs/precision_study.md)",
-    )
-    parser.add_argument(
-        "--query-mode",
-        default="first",
-        choices=["first", "strided"],
-        help="TAP-Vid query sampling (strided = a query every 5 frames; "
-             "pre-query frames stay zero, as in forward-only propagation)",
-    )
-    parser.add_argument(
-        "--hard-prop",
-        action="store_true",
-        help="VOS: argmax->one-hot re-encode the value bank each step",
-    )
-    parser.add_argument(
-        "--visibility-mode",
-        default=None,
-        choices=["none", "heatmap"],
-        help="point-tracking visibility prediction: none = constant zeros "
-             "(reference parity; AJ/OA degenerate), heatmap = peak-ratio "
-             "estimate (calibrated in docs/visibility_study.md)",
-    )
-    parser.add_argument(
-        "--visibility-threshold",
-        type=float,
-        default=None,
-        help="peak_t / peak_query ratio above which a point counts visible",
-    )
-    parser.add_argument(
-        "--coordinator",
-        default=None,
-        help="multi-host: jax.distributed coordinator address "
-             "(videos shard rank::world; results allgather before scoring)",
-    )
-    parser.add_argument("--num-processes", type=int, default=None)
-    parser.add_argument("--process-id", type=int, default=None)
-    parser.add_argument(
-        "--profile",
-        default=None,
-        metavar="LOGDIR",
-        help="write a jax.profiler device+host trace (TensorBoard/xprof)",
-    )
-    parser.add_argument(
-        "--platform",
-        default=None,
-        choices=["cpu", "tpu"],
-        help="force a jax platform (the JAX_PLATFORMS env var is overridden "
-             "by device plugins in some environments; the config API wins)",
-    )
-    parser.add_argument(
-        "--local-devices",
-        type=int,
-        default=None,
-        help="single-process data-parallel eval over N local devices "
-             "(videos round-robin; all five tasks)",
-    )
-    parser.add_argument(
-        "--spatial-devices",
-        type=int,
-        default=None,
-        help="spatial-parallel propagation: shard each frame's query rows "
-             "over N local devices (shard_map 'space' mesh; single-video "
-             "latency scaling — mutually exclusive with --local-devices)",
-    )
-    args = parser.parse_args()
-
-    import dataclasses
-
-    import jax
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-    if args.coordinator:
-        from fgvc_tpu.parallel.dist import initialize
-
-        initialize(
-            args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
-
-    from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
-
-    overrides = dict(
-        matmul_precision=args.precision,
-        save_mem=args.save_mem,
-        hard_prop=args.hard_prop,
-    )
-    if args.attention_impl:
-        overrides["attention_impl"] = args.attention_impl
-    if args.topk_impl:
-        overrides["topk_impl"] = args.topk_impl
-    if args.decode_impl:
-        overrides["decode_impl"] = args.decode_impl
-    if args.upload_format:
-        overrides["upload_format"] = args.upload_format
-    if args.visibility_mode:
-        overrides["visibility_mode"] = args.visibility_mode
-    if args.visibility_threshold is not None:
-        overrides["visibility_threshold"] = args.visibility_threshold
-    cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
-    from fgvc_tpu.utils.profiler import trace
-
-    with trace(args.profile):
-        results = run_task(
-            args.task,
-            args.data_root,
-            checkpoint=args.checkpoint,
-            list_path=args.list_path,
-            max_videos=args.max_videos,
-            output_dir=args.output_dir,
-            test_cfg=cfg,
-            model=args.model,
-            query_mode=args.query_mode,
-            local_devices=args.local_devices,
-            spatial_devices=args.spatial_devices,
-        )
-    print(json.dumps(results, indent=2, default=float))
-
+from fgvc_tpu.cli.test import main
 
 if __name__ == "__main__":
     main()
