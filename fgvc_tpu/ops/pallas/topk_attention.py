@@ -23,8 +23,20 @@ frames) — no per-step gather of multi-GB banks (roadmap item 3).
 
 Semantics match the XLA kernels (ops/windowed_attention.py) and therefore
 the reference masked_attention_efficient
-(/root/reference/mmpt/models/common/local_attention.py:267), including the
-duplicated-first-frame tie handling of early steps.
+(/root/reference/mmpt/models/common/local_attention.py:267), with one
+precisely-scoped exception: candidates TIED at the k-th affinity value.
+The top-k STATISTICS (threshold, selected count, softmax normalizer) are
+exact for every tie structure, but the value mixing is a fractional
+tie-split — each tied candidate receives (slots remaining)/(ties) of the
+threshold weight — where lax.top_k/torch.topk pick winners by index order.
+The two coincide whenever tied candidates carry equal values (duplicated
+first frames of early steps, flat regions propagating a locally-constant
+label map); they differ only when identical-feature keys hold DIFFERENT
+values, where the reference's pick is itself an arbitrary index-order
+artifact and the fractional split is the permutation-invariant choice.
+Pinned in tests/test_pallas_attention.py::test_tie_semantics_at_threshold;
+the synthetic metric study (docs/precision_study.md) bounds the end-to-end
+effect together with the precision modes.
 
 VMEM peak ≈ 22 MB at DAVIS shapes (tile 16, halo 15, T 6, C 256, Pp 128).
 """

@@ -171,3 +171,54 @@ def test_bfloat16_mode_sane():
     )
     assert np.isfinite(obd).all()
     np.testing.assert_allclose(obd.sum(-1), 1.0, atol=1e-2)
+
+
+def test_tie_semantics_at_threshold():
+    """Pin the ONE documented semantic divergence between the kernels.
+
+    When candidates tie at the k-th affinity value but carry DIFFERENT
+    values, the XLA exact path picks winners by index order (lax.top_k,
+    matching torch.topk in the reference) while the fused Pallas kernel
+    splits the threshold weight fractionally across the tied candidates
+    (permutation-invariant; see ops/pallas/topk_attention.py docstring).
+    Construct three identical-feature keys inside the query's window with
+    distinct one-hot values and check both behaviors explicitly.
+    """
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.pallas.topk_attention import fused_topk_attention
+    from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
+
+    H = W = 8
+    C = 4
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(C).astype(np.float32)
+    b = rng.standard_normal(C).astype(np.float32)
+    k = np.broadcast_to(b, (1, H, W, C)).copy()
+    # identical vector `a` at flat positions 0, 1, 9 — all strictly inside
+    # the radius-2 circle of query (0, 0)
+    for (y, x) in [(0, 0), (0, 1), (1, 1)]:
+        k[0, y, x] = a
+    q = np.broadcast_to(a, (H, W, C)).copy()  # query (0,0) matches `a` best
+    v = np.eye(H * W, dtype=np.float32).reshape(1, H, W, H * W)
+
+    kwargs = dict(radius=2.0, temperature=0.07, topk=1, tile=8,
+                  mask_shape="circle")
+    tiled = np.asarray(
+        masked_topk_attention_tiled(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), **kwargs
+        )
+    )[0, 0]
+    fused = np.asarray(
+        fused_topk_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True,
+            **kwargs
+        )
+    )[0, 0]
+
+    expect_tiled = np.zeros(H * W, np.float32)
+    expect_tiled[0] = 1.0  # pick-one: lowest flat index among the ties
+    expect_fused = np.zeros(H * W, np.float32)
+    expect_fused[[0, 1, 9]] = 1.0 / 3.0  # fractional split across the ties
+    np.testing.assert_allclose(tiled, expect_tiled, atol=1e-5)
+    np.testing.assert_allclose(fused, expect_fused, atol=1e-5)
