@@ -98,3 +98,73 @@ def test_fused_matches_tiled_property(
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    H=st.integers(5, 20),
+    W=st.integers(5, 20),
+    C=st.sampled_from([3, 8]),
+    R=st.integers(1, 4),
+)
+def test_local_correlation_property(seed, H, W, C, R):
+    """local_correlation vs the brute-force oracle on random shapes,
+    including H/W smaller than the window (2R+1) and non-multiples of the
+    internal tiling."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.local_corr import local_correlation
+    from oracles import local_correlation_ref
+
+    rng = np.random.default_rng(seed)
+    tar = rng.standard_normal((H, W, C)).astype(np.float32)
+    ref = rng.standard_normal((H, W, C)).astype(np.float32)
+    out = np.asarray(local_correlation(jnp.asarray(tar), jnp.asarray(ref), R))
+    expect = local_correlation_ref(tar, ref, R)
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    H=st.sampled_from([8, 16]),
+    W=st.sampled_from([8, 16]),
+    T=st.integers(1, 3),
+    topk=st.integers(1, 5),
+    radius=st.sampled_from([2.0, 3.5]),
+    mask_shape=st.sampled_from(["circle", "square"]),
+)
+def test_dense_matches_tiled_property(seed, H, W, T, topk, radius, mask_shape):
+    """The dense reference-parity kernel and the tiled halo kernel must be
+    numerically identical on continuous features (both pick top-k by index
+    order; ties are measure-zero)."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.attention import masked_topk_attention
+    from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
+
+    rng = np.random.default_rng(seed)
+    C, Cv = 6, 3
+    q = rng.standard_normal((H, W, C)).astype(np.float32)
+    k = rng.standard_normal((T, H, W, C)).astype(np.float32)
+    v = rng.standard_normal((T, H, W, Cv)).astype(np.float32)
+    valid = rng.random(T) < 0.8
+    valid[rng.integers(T)] = True
+
+    kwargs = dict(
+        radius=radius,
+        temperature=0.07,
+        topk=topk,
+        mask_shape=mask_shape,
+        key_valid=jnp.asarray(valid),
+    )
+    dense = np.asarray(
+        masked_topk_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), **kwargs)
+    )
+    tiled = np.asarray(
+        masked_topk_attention_tiled(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), tile=8, **kwargs
+        )
+    )
+    np.testing.assert_allclose(tiled, dense, rtol=1e-5, atol=1e-5)
