@@ -21,6 +21,7 @@ effective f32 → ≈50 ms/frame.  vs_baseline = our fps / 20.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -33,6 +34,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_FPS_ESTIMATE = 20.0
+
+# last successful on-chip measurement (embedded in the outage error record
+# so a tunnel-down run still carries the most recent real numbers)
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_last_good.json")
 
 
 def wait_for_backend(max_wait_s: float = 1800.0) -> None:
@@ -74,22 +80,26 @@ def wait_for_backend(max_wait_s: float = 1800.0) -> None:
             pass
         waited = time.time() - t0
         if waited > max_wait_s:
-            print(
-                json.dumps(
-                    {
-                        "metric": "davis_propagation_frames_per_sec_per_chip",
-                        "value": 0.0,
-                        "unit": "frames/s",
-                        "vs_baseline": 0.0,
-                        "error": (
-                            "TPU backend unavailable for "
-                            f"{waited:.0f}s (tunnel outage) — no "
-                            "measurement possible; see BENCH_r02.json/"
-                            "README for the last recorded numbers"
-                        ),
-                    }
+            err = {
+                "metric": "davis_propagation_frames_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "error": (
+                    "TPU backend unavailable for "
+                    f"{waited:.0f}s (tunnel outage) — no "
+                    "measurement possible this run"
+                ),
+            }
+            try:
+                with open(_LAST_GOOD_PATH) as f:
+                    err["last_good_on_chip"] = json.load(f)
+            except (OSError, ValueError):
+                err["error"] += (
+                    "; see BENCH_r02.json/README for the last "
+                    "recorded numbers"
                 )
-            )
+            print(json.dumps(err))
             sys.exit(1)
         print(
             f"# backend unavailable (attempt {attempt}, {waited:.0f}s) — "
@@ -224,25 +234,30 @@ def main():
         prop_runs.append((T - 1) / (time.perf_counter() - t0))
     prop_fps = float(np.median(prop_runs))
 
-    print(
-        json.dumps(
-            {
-                "metric": "davis_propagation_frames_per_sec_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
-                "headline_mode": "pallas-bf16 + yuv420 upload "
-                "(study-promoted; docs/precision_study.md; library default "
-                "stays f32-exact + rgb)",
-                "propagation_only_fps": round(prop_fps, 2),
-                "single_video_fps": round(sv_fps, 2),
-                "exact_mode_fps": round(exact_fps, 2),
-                "tunnel_MBps": round(mb / up_s, 1),
-                "upload_ms_per_frame": round(1e3 * up_s / T, 2),
-                "end_to_end_runs": [round(r, 2) for r in runs],
-            }
-        )
-    )
+    record = {
+        "metric": "davis_propagation_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+        "headline_mode": "pallas-bf16 + yuv420 upload "
+        "(study-promoted; docs/precision_study.md; library default "
+        "stays f32-exact + rgb)",
+        "propagation_only_fps": round(prop_fps, 2),
+        "single_video_fps": round(sv_fps, 2),
+        "exact_mode_fps": round(exact_fps, 2),
+        "tunnel_MBps": round(mb / up_s, 1),
+        "upload_ms_per_frame": round(1e3 * up_s / T, 2),
+        "end_to_end_runs": [round(r, 2) for r in runs],
+    }
+    print(json.dumps(record))
+    # persist for the outage path: if a later invocation finds the tunnel
+    # down, its error record embeds this last on-chip measurement
+    try:
+        record["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump(record, f)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
