@@ -553,7 +553,14 @@ def run_task(
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 
-        ds = TapVidDataset(data_root, subset_name=task, query_mode=query_mode)
+        # forward the config's input size so a test_cfg override (e.g. the
+        # synthetic calibration studies, smoke tests) resizes the videos to
+        # the resolution the tracker was configured for — at the task
+        # defaults this is a no-op (both sides say 256²)
+        ds = TapVidDataset(
+            data_root, subset_name=task, query_mode=query_mode,
+            input_size=cfg.input_size,
+        )
         return eval_tapvid(
             tracker, ds, max_videos, rank=rank, world=world,
             output_dir=output_dir, devices=devices,
@@ -561,7 +568,9 @@ def run_task(
     if task == "jhmdb":
         from fgvc_tpu.datasets.jhmdb import JhmdbDataset
 
-        ds = JhmdbDataset(data_root, list_path or data_root)
+        ds = JhmdbDataset(
+            data_root, list_path or data_root, input_size=cfg.input_size
+        )
         return eval_jhmdb(
             tracker, ds, max_videos, rank=rank, world=world,
             output_dir=output_dir, devices=devices,
