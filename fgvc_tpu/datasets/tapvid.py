@@ -135,6 +135,18 @@ class TapVidDataset:
         if isinstance(sample, dict) and len(sample) == 1:
             # kinetics shards may nest {video_name: record}
             (sample,) = sample.values()
+        # a monolithic DeepMind release pickle (dict of many videos, or a
+        # kinetics-style list of records) must be split into per-video
+        # shards first — fail with the exact command instead of a KeyError
+        is_record = isinstance(sample, dict) and "video" in sample
+        if not is_record:
+            raise ValueError(
+                f"{self.samples[idx]} looks like an UNSPLIT TAP-Vid release "
+                "pickle (many videos in one file). Split it first:\n"
+                f"  python tools/data/split_tapvid.py --input "
+                f"{self.samples[idx]} --out <data_split dir>\n"
+                "then pass --data-root <data_split dir>."
+            )
         return sample
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:

@@ -276,3 +276,27 @@ def test_restore_orbax_resolves_pointer_files(tmp_path):
         np.asarray(via_pointer["params"]["w"]),
         np.asarray(via_dir["params"]["w"]),
     )
+
+
+def test_tapvid_unsplit_pickle_actionable_error(tmp_path):
+    """Pointing --data-root at the monolithic DeepMind release pickle must
+    fail with the split command, not a KeyError (real-data day 1 UX)."""
+    import pickle
+
+    from fgvc_tpu.datasets.tapvid import TapVidDataset
+
+    rng = np.random.default_rng(0)
+    rec = lambda: {  # noqa: E731
+        "video": rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8),
+        "points": rng.uniform(0, 1, (1, 2, 2)).astype(np.float32),
+        "occluded": np.zeros((1, 2), bool),
+    }
+    # davis-style: one dict of many videos; kinetics-style: a list
+    for blob in ({"vid_a": rec(), "vid_b": rec()}, [rec(), rec()]):
+        root = tmp_path / f"mono_{type(blob).__name__}"
+        root.mkdir()
+        with open(root / "tapvid_davis.pkl", "wb") as f:
+            pickle.dump(blob, f)
+        ds = TapVidDataset(str(root))
+        with pytest.raises(ValueError, match="split_tapvid"):
+            ds[0]
