@@ -187,7 +187,12 @@ class FlyingThingsYtvDataset:
         self.sup_pipe = SupPipeline(crop=crop)
         self.rng = np.random.default_rng(seed)
 
-        # YTV video index: json meta {videos: {vid: ...}} or directory scan
+        # YTV video index: json {vid: [frame files]} (the reference's
+        # data_info/youtube2018_train.json — values are the EXACT frames to
+        # train on, every 5th frame of the video; the reference joins them
+        # verbatim, flyingthings_ytv_dataset.py:62-68, so a directory that
+        # holds all frames must NOT widen the pair distribution here),
+        # {videos: {vid: ...}} official meta, or a directory scan fallback
         self.ytv_videos: List[List[str]] = []
         prefix = os.path.join(ytv_root, "train/JPEGImages_s256")
         if ytv_list and os.path.exists(ytv_list):
@@ -195,7 +200,13 @@ class FlyingThingsYtvDataset:
                 meta = json.load(f)
             vids = meta.get("videos", meta)
             for vid in sorted(vids):
-                frames = sorted(glob.glob(os.path.join(prefix, vid, "*.jpg")))
+                entry = vids[vid] if isinstance(vids, dict) else None
+                if isinstance(entry, (list, tuple)) and entry:
+                    frames = [os.path.join(prefix, vid, f) for f in entry]
+                else:
+                    frames = sorted(
+                        glob.glob(os.path.join(prefix, vid, "*.jpg"))
+                    )
                 if len(frames) >= 2:
                     self.ytv_videos.append(frames)
         else:

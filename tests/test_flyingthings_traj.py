@@ -1,5 +1,7 @@
 """PIPs-style trajectory packaging: crops, visibility, padding."""
 
+import os
+
 import numpy as np
 
 
@@ -103,3 +105,61 @@ def test_structured_synthetic_mixed_dataset():
                                   StructuredSyntheticMixedDataset(
                                       crop=64, length=4, seed=3,
                                       max_shift=4, n_sprites=1)[1]["flow"])
+
+
+def test_ytv_json_frame_lists_used_verbatim(tmp_path):
+    """The reference trains on the json's exact (5-strided) frame lists
+    (flyingthings_ytv_dataset.py:62-68); a directory holding ALL frames
+    must not widen the sampled-pair distribution."""
+    import json
+
+    import cv2
+
+    from fgvc_tpu.datasets.flyingthings_ytv import FlyingThingsYtvDataset
+
+    rng = np.random.default_rng(0)
+    vdir = tmp_path / "ytv/train/JPEGImages_s256/vid01"
+    vdir.mkdir(parents=True)
+    for t in range(10):  # all 10 frames on disk...
+        cv2.imwrite(
+            str(vdir / f"{t:05d}.jpg"),
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+        )
+    listed = [f"{t:05d}.jpg" for t in (0, 5)]  # ...but the json lists 2
+    jpath = tmp_path / "youtube2018_train.json"
+    jpath.write_text(json.dumps({"vid01": listed}))
+
+    # minimal FlyingThings fixture (one frame pair + fwd/bwd PFM flows)
+    def write_pfm(path, arr):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        h, w, c = arr.shape
+        with open(path, "wb") as f:
+            f.write(b"PF\n" + f"{w} {h}\n".encode() + b"-1.0\n")
+            f.write(arr[::-1].astype("<f4").tobytes())
+
+    fly = tmp_path / "fly"
+    img_dir = fly / "frames_cleanpass/TRAIN/A/0000/left"
+    img_dir.mkdir(parents=True)
+    for n in (6, 7):
+        cv2.imwrite(
+            str(img_dir / f"{n:04d}.png"),
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+        )
+    flow3 = np.zeros((16, 16, 3), np.float32)
+    write_pfm(
+        fly / "optical_flow/TRAIN/A/0000/into_future/left"
+        / "OpticalFlowIntoFuture_0006_L.pfm",
+        flow3,
+    )
+    write_pfm(
+        fly / "optical_flow/TRAIN/A/0000/into_past/left"
+        / "OpticalFlowIntoPast_0007_L.pfm",
+        flow3,
+    )
+
+    ds = FlyingThingsYtvDataset(
+        str(tmp_path / "ytv"), str(fly), ytv_list=str(jpath)
+    )
+    assert len(ds.fly_pairs) == 1
+    assert len(ds.ytv_videos) == 1
+    assert [os.path.basename(p) for p in ds.ytv_videos[0]] == listed
