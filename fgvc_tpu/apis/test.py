@@ -168,28 +168,57 @@ def _read_ahead(dataset, ids):
             yield cur
 
 
+def _entry_device(entry):
+    """Dispatch placement for one round-robin slot: a plain device pins
+    there; a GROUP entry (dp×sp) returns None so the group tracker's own
+    'space'-mesh sharding takes over."""
+    return None if isinstance(entry, (list, tuple)) else entry
+
+
 def device_trackers(tracker: Tracker, devices):
-    """One Tracker clone per local device (variables replicated by
-    device_put) — the single-process data-parallel eval fleet.  The
-    reference needs one torch.distributed process per GPU for this
-    (apis/test.py multi_gpu_test); here devices are just dispatch targets.
-    """
+    """One Tracker clone per round-robin slot — the single-process
+    data-parallel eval fleet.  The reference needs one torch.distributed
+    process per GPU for this (apis/test.py multi_gpu_test); here devices
+    are just dispatch targets.
+
+    Each entry is either a single jax.Device (plain dp: variables
+    device_put there) or a SEQUENCE of devices (dp×sp: the entry becomes
+    a per-group 'space' mesh — videos round-robin over groups while each
+    group shards its video's query rows, combining the two scaling axes
+    on one pod slice)."""
     import jax as _jax
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
     if tracker.spatial_mesh is not None:
         raise ValueError(
-            "cannot round-robin an sp tracker over devices: spatial-"
-            "parallel propagation and per-device video dispatch are "
-            "mutually exclusive scaling modes"
+            "pass device GROUPS instead of building the base tracker on a "
+            "spatial mesh: the round-robin fleet derives one 'space' mesh "
+            "per group entry"
         )
-    return [
-        Tracker(
-            tracker.apply_fn,
-            _jax.device_put(tracker.variables, d),
-            tracker.cfg,
-        )
-        for d in devices
-    ]
+    out = []
+    for d in devices:
+        if isinstance(d, (list, tuple)):
+            mesh = Mesh(_np.array(list(d)), ("space",))
+            out.append(
+                Tracker(
+                    tracker.apply_fn,
+                    _jax.device_put(
+                        tracker.variables, NamedSharding(mesh, PartitionSpec())
+                    ),
+                    tracker.cfg,
+                    spatial_mesh=mesh,
+                )
+            )
+        else:
+            out.append(
+                Tracker(
+                    tracker.apply_fn,
+                    _jax.device_put(tracker.variables, d),
+                    tracker.cfg,
+                )
+            )
+    return out
 
 
 def eval_tapvid(
@@ -295,7 +324,9 @@ def _eval_tapvid_multidevice(tracker, dataset, ids, devices, output_dir):
     def dispatch(i, dslot):
         tr = trackers[dslot]
         sample = dataset[i]
-        feats = tr._features_padded(sample["video"], device=devices[dslot])
+        feats = tr._features_padded(
+            sample["video"], device=_entry_device(devices[dslot])
+        )
         frames[0] += len(sample["video"])
         return sample, tr.track_points_dispatch(
             sample["video"], sample["query_points"], feats=feats
@@ -353,7 +384,7 @@ def _heatmap_eval_loop(tracker, dataset, ids, devices=None):
             tr = trackers[dslot]
             sample = dataset[i]
             feats = tr._features_padded(
-                sample["video"], device=devices[dslot]
+                sample["video"], device=_entry_device(devices[dslot])
             )
             return None, tr.track_heatmaps_dispatch(
                 sample["video"],
@@ -441,7 +472,7 @@ def eval_vos(
                 sample["first_mask"],
                 tuple(sample["original_shape"]),
                 sample["num_objects"],
-                device=devices[dslot],
+                device=_entry_device(devices[dslot]),
             )
 
         def collect(j, dslot, _payload, dp):
@@ -499,8 +530,11 @@ def run_task(
     propagation, and the metrics switch to the strided protocol.
 
     local_devices round-robins whole videos over local devices (throughput
-    scaling); spatial_devices instead shards each frame's query rows over a
-    'space' mesh (single-video latency scaling) — mutually exclusive.
+    scaling); spatial_devices shards each frame's query rows over a 'space'
+    mesh (single-video latency scaling).  Giving BOTH composes them on one
+    pod slice: local_devices GROUPS of spatial_devices chips each — videos
+    round-robin over the groups while every group row-shards its video
+    (needs local_devices × spatial_devices local devices).
     """
     from fgvc_tpu.parallel.dist import process_info
 
@@ -515,41 +549,43 @@ def run_task(
     if rank != 0:
         output_dir = None
     cfg = test_cfg or TASK_CONFIGS[task]
+    G = local_devices if local_devices and local_devices > 1 else 1
+    S = spatial_devices if spatial_devices and spatial_devices > 1 else 1
+    if model == "raft" and (G > 1 or S > 1):
+        raise ValueError(
+            "--local-devices/--spatial-devices apply to the "
+            "label-propagation tracker only (RaftTracker has no "
+            "dispatch/collect split yet)"
+        )
+    if G * S > len(jax.local_devices()):
+        raise ValueError(
+            f"{G} video groups × {S}-way row sharding needs {G * S} local "
+            f"devices, have {len(jax.local_devices())}"
+        )
     spatial_mesh = None
-    if spatial_devices and spatial_devices > 1:
-        if model == "raft":
-            raise ValueError(
-                "--spatial-devices applies to the label-propagation tracker"
-            )
-        if local_devices and local_devices > 1:
-            raise ValueError(
-                "--spatial-devices and --local-devices are mutually "
-                "exclusive scaling modes (rows-per-frame vs whole videos)"
-            )
+    devices = None
+    if G == 1 and S > 1:
+        # single sp group: the base tracker itself runs on the mesh
         import numpy as _np
         from jax.sharding import Mesh
 
-        devs = jax.local_devices()[:spatial_devices]
-        if len(devs) < spatial_devices:
-            raise ValueError(
-                f"--spatial-devices {spatial_devices} > {len(jax.local_devices())}"
-                " local devices"
-            )
-        spatial_mesh = Mesh(_np.array(devs), ("space",))
+        spatial_mesh = Mesh(_np.array(jax.local_devices()[:S]), ("space",))
+    elif G > 1:
+        # dp (whole videos over groups) × optional sp (rows within a group):
+        # device_trackers turns sequence entries into per-group 'space'
+        # meshes; S == 1 degenerates to the plain per-device round-robin
+        devs = jax.local_devices()[: G * S]
+        devices = (
+            [tuple(devs[g * S : (g + 1) * S]) for g in range(G)]
+            if S > 1
+            else devs
+        )
     if model == "raft":
         if task not in ("davis", "kinetics"):
             raise ValueError("--model raft supports point-tracking tasks only")
         tracker = build_raft_tracker(checkpoint)
     else:
         tracker = build_tracker(cfg, checkpoint, spatial_mesh=spatial_mesh)
-    devices = None
-    if local_devices and local_devices > 1:
-        if model == "raft":
-            raise ValueError(
-                "--local-devices applies to the label-propagation tracker "
-                "only (RaftTracker has no dispatch/collect split yet)"
-            )
-        devices = jax.local_devices()[:local_devices]
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 

@@ -130,7 +130,8 @@ def main():
         default=None,
         help="spatial-parallel propagation: shard each frame's query rows "
              "over N local devices (shard_map 'space' mesh; single-video "
-             "latency scaling — mutually exclusive with --local-devices)",
+             "latency scaling). Combine with --local-devices G for G video "
+             "groups × N-way row sharding (needs G*N local devices)",
     )
     args = parser.parse_args()
 

@@ -205,6 +205,14 @@ def test_jhmdb_multidevice_dp_eval(fixtures):
     multi = eval_jhmdb(tr, ds, devices=jax.devices()[:2])
     for k in single:
         assert multi[k] == pytest.approx(single[k], abs=1e-4), k
+    # dp×sp groups: 2 video groups × 2-way row sharding via tuple entries
+    if len(jax.devices()) >= 4:
+        d = jax.devices()
+        grouped = eval_jhmdb(
+            tr, ds, devices=[tuple(d[0:2]), tuple(d[2:4])]
+        )
+        for k in single:
+            assert grouped[k] == pytest.approx(single[k], abs=1e-4), k
 
 
 def test_vos_multidevice_dp_eval(fixtures):

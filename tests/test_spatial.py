@@ -244,10 +244,21 @@ def test_sp_run_task_matches_single(tmp_path):
         single["average_pts_within_thresh"], abs=1e-6
     )
 
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        run_task(
+    # dp × sp composition: 2 video groups × 2-way row sharding (4 devices);
+    # exact same metrics — videos round-robin over per-group 'space' meshes
+    if len(jax.devices()) >= 4:
+        both = run_task(
             "davis", str(root), test_cfg=cfg,
             spatial_devices=2, local_devices=2,
+        )
+        assert both["average_pts_within_thresh"] == pytest.approx(
+            single["average_pts_within_thresh"], abs=1e-6
+        )
+
+    with pytest.raises(ValueError, match="local devices"):
+        run_task(
+            "davis", str(root), test_cfg=cfg,
+            spatial_devices=8, local_devices=8,
         )
 
 
