@@ -76,9 +76,27 @@ def build_tracker(
     checkpoint: Optional[str] = None,
     seed: int = 0,
     spatial_mesh=None,
+    backbone: str = "resnet18_d1",
 ) -> Tracker:
-    """ResNet-18-d1 tracker; loads a torch .pth, an orbax dir, or a
-    work_dir 'best'/'latest' pointer if given."""
+    """Tracker over any zoo encoder (default: the paper's ResNet-18-d1);
+    loads a torch .pth, an orbax dir, or a work_dir 'best'/'latest'
+    pointer if given.  Non-default backbones route through
+    models.zoo.make_eval_backbone, which also switches the on-device
+    preprocessing to what that encoder family expects (the reference
+    swaps the config's backbone dict + Normalize pipeline the same way)."""
+    import dataclasses
+
+    if backbone != "resnet18_d1":
+        from fgvc_tpu.models.zoo import make_eval_backbone
+
+        apply_fn, variables, pre = make_eval_backbone(
+            backbone, checkpoint, input_hw=test_cfg.input_size, seed=seed
+        )
+        if test_cfg.preprocess != pre:
+            test_cfg = dataclasses.replace(test_cfg, preprocess=pre)
+        return Tracker(
+            apply_fn, variables, test_cfg, spatial_mesh=spatial_mesh
+        )
     model = resnet18_d1()
     if checkpoint and checkpoint.endswith(".pth"):
         state = load_torch_state_dict(checkpoint)
@@ -518,6 +536,7 @@ def run_task(
     query_mode: str = "first",
     local_devices: Optional[int] = None,
     spatial_devices: Optional[int] = None,
+    backbone: str = "resnet18_d1",
 ) -> Dict[str, float]:
     """Mirror of `tools/test.py --task ...` (tools/test.py:121-198).
 
@@ -585,7 +604,9 @@ def run_task(
             raise ValueError("--model raft supports point-tracking tasks only")
         tracker = build_raft_tracker(checkpoint)
     else:
-        tracker = build_tracker(cfg, checkpoint, spatial_mesh=spatial_mesh)
+        tracker = build_tracker(
+            cfg, checkpoint, spatial_mesh=spatial_mesh, backbone=backbone
+        )
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 

@@ -31,6 +31,14 @@ def main():
         choices=["vanilla", "raft"],
         help="vanilla = label-propagation tracker; raft = flow-chaining baseline",
     )
+    parser.add_argument(
+        "--backbone",
+        default="resnet18_d1",
+        help="eval encoder from the zoo (models/zoo.py): resnet18_d1 "
+             "(paper default), hrnet_w18, dino_vit_s8/s16/b8, vit_small_d8, "
+             "swin_tiny, resnet18_mast, resnet18_pos — the reference swaps "
+             "the config's backbone dict the same way (ablations)",
+    )
     parser.add_argument("--max-videos", type=int, default=None)
     parser.add_argument("--output-dir", default="eval_results")
     parser.add_argument(
@@ -188,6 +196,7 @@ def main():
             query_mode=args.query_mode,
             local_devices=args.local_devices,
             spatial_devices=args.spatial_devices,
+            backbone=args.backbone,
         )
     print(json.dumps(results, indent=2, default=float))
 

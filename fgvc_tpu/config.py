@@ -114,6 +114,11 @@ class TestConfig:
     # data).
     visibility_mode: str = "none"
     visibility_threshold: float = 0.5
+    # On-device preprocessing applied to uint8 uploads: 'lab' = RGB→Lab +
+    # the shipped eval normalization (configs/eval/base_data.py:3-13);
+    # 'imagenet' = standard RGB mean/std — what the non-Lab backbone
+    # ablations (DINO/ViT zoo) expect.  float32 input bypasses both.
+    preprocess: str = "lab"
 
 
 DAVIS_TEST_CFG = TestConfig(step=512)

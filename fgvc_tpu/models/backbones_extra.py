@@ -124,9 +124,12 @@ class SwinBlock(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, C), H/W divisible by window."""
         B, H, W, C = x.shape
-        ws = self.window
-        # official Swin disables the shift when the map is no larger than
-        # one window (the roll would be a pure permutation)
+        # official Swin clamps the window to the feature map and disables
+        # the shift when the map is no larger than one window (the roll
+        # would be a pure permutation); the relative-position table sizes
+        # to the clamped window, so init and apply must see the same
+        # resolution (true everywhere here — static shapes)
+        ws = min(self.window, H, W)
         shift = self.shift if min(H, W) > ws else 0
         y = nn.LayerNorm(name="norm1")(x)
         if shift > 0:

@@ -96,6 +96,11 @@ class Tracker:
                 "visibility_mode must be 'none' or 'heatmap', got "
                 f"{test_cfg.visibility_mode!r}"
             )
+        if test_cfg.preprocess not in ("lab", "imagenet"):
+            raise ValueError(
+                "preprocess must be 'lab' or 'imagenet', got "
+                f"{test_cfg.preprocess!r}"
+            )
         # Per-tile slices straight from the full bank are fastest for small
         # banks but degrade badly on multi-GB banks (TPU gather locality);
         # past this many frames, the tiled path gathers the window's padded
@@ -152,13 +157,28 @@ class Tracker:
         video = jnp.pad(video, ((0, pad),) + ((0, 0),) * (video.ndim - 1))
         batches = video.reshape(n, chunk, *video.shape[1:])
 
+        if self.cfg.preprocess == "imagenet":
+            from fgvc_tpu.ops.color import (
+                preprocess_rgb_to_imagenet,
+                preprocess_yuv420_to_imagenet,
+            )
+
+            pre_rgb, pre_yuv = (
+                preprocess_rgb_to_imagenet, preprocess_yuv420_to_imagenet
+            )
+        else:
+            pre_rgb, pre_yuv = (
+                preprocess_rgb_to_lab_normalized,
+                preprocess_yuv420_to_lab_normalized,
+            )
+
         def body(_, imgs):
             if imgs.dtype == jnp.uint8:
                 if imgs.ndim == 3:
                     # I420 planes (upload_format='yuv420'): decode on device
-                    imgs = preprocess_yuv420_to_lab_normalized(imgs)
+                    imgs = pre_yuv(imgs)
                 else:
-                    imgs = preprocess_rgb_to_lab_normalized(imgs)
+                    imgs = pre_rgb(imgs)
             return None, self.apply_fn(self.variables, imgs)
 
         _, feats = jax.lax.scan(body, None, batches)

@@ -86,6 +86,25 @@ def preprocess_rgb_to_lab_normalized(rgb_uint8: jax.Array) -> jax.Array:
     return normalize(lab, LAB_MEAN, LAB_STD)
 
 
+# standard mmcv/ImageNet RGB normalization (img_norm_cfg mean/std on 0-255)
+# — the preprocessing the reference's non-Lab backbone ablations (DINO/ViT
+# zoo, mmpt/models/backbones/__init__.py) pair with; the shipped eval
+# configs use Lab (configs/eval/base_data.py:3-13)
+IMAGENET_MEAN = (123.675 / 255.0, 116.28 / 255.0, 103.53 / 255.0)
+IMAGENET_STD = (58.395 / 255.0, 57.12 / 255.0, 57.375 / 255.0)
+
+
+def preprocess_rgb_to_imagenet(rgb_uint8: jax.Array) -> jax.Array:
+    """uint8 RGB frame(s) → ImageNet-normalized RGB float32."""
+    rgb = rgb_uint8.astype(jnp.float32) / 255.0
+    return normalize(rgb, IMAGENET_MEAN, IMAGENET_STD)
+
+
+def preprocess_yuv420_to_imagenet(yuv: jax.Array) -> jax.Array:
+    """I420 uint8 frame(s) → ImageNet-normalized RGB float32."""
+    return normalize(yuv420_to_rgb01(yuv), IMAGENET_MEAN, IMAGENET_STD)
+
+
 # --------------------------------------------------------------------- #
 # YUV 4:2:0 upload codec — a TPU-SYSTEMS lever, not a reference feature.
 #
