@@ -52,6 +52,12 @@ def main():
     parser.add_argument("--out", default="demo.mp4")
     parser.add_argument("--correspondence", action="store_true")
     parser.add_argument(
+        "--backbone",
+        default="resnet18_d1",
+        help="eval encoder from the zoo (models/zoo.py) — see "
+             "tools/test.py --backbone",
+    )
+    parser.add_argument(
         "--platform",
         default=None,
         choices=["cpu", "tpu"],
@@ -81,7 +87,7 @@ def main():
     cfg = dataclasses.replace(
         TASK_CONFIGS["davis"], input_size=(args.size, args.size)
     )
-    tracker = build_tracker(cfg, args.checkpoint)
+    tracker = build_tracker(cfg, args.checkpoint, backbone=args.backbone)
 
     if args.correspondence:
         import jax
