@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Serving entry point: the tracker behind an HTTP endpoint.
+
+The reference has no serving story (its deployment artifact is "run
+tools/test.py"); this is the production-shaped counterpart to the StableHLO
+export (core/export.py): one warm process owns the compiled propagation
+program and answers tracking requests over HTTP.
+
+    fgvc-serve --checkpoint ckpt.pth --port 8500 &
+    # request: npz with video (T,H,W,3) uint8 RGB + query_points (P,3)
+    #          (t, x, y) in input pixels
+    curl -s -X POST --data-binary @req.npz localhost:8500/v1/track | jq .
+
+Endpoints:
+  POST /v1/track   — body: .npz {video, query_points}; reply: JSON
+                     {trajectories: (T,P,2), visibilities: (T,P), ms}
+  GET  /healthz    — liveness + config summary (200 once warm)
+  GET  /stats      — request counter / cumulative frames / wall time
+
+The first request pays the jit compile for its (frame-bucket, point-bucket)
+shape; the buckets make repeats hit the cache (static shapes — the same
+property the eval harness relies on).  One device today; scale-out is one
+process per chip behind any HTTP load balancer (the model is ~11 M params —
+replication, not sharding, is the right serving layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import time
+
+
+def make_handler(tracker, stats):
+    """Build the BaseHTTPRequestHandler class closed over a warm tracker."""
+    from http.server import BaseHTTPRequestHandler
+
+    import numpy as np
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload, default=float).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", **stats["config"]})
+            elif self.path == "/stats":
+                self._reply(200, {
+                    k: v for k, v in stats.items() if k != "config"
+                })
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/track":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                blob = np.load(io.BytesIO(self.rfile.read(n)))
+                video = np.asarray(blob["video"])
+                pts = np.asarray(blob["query_points"], np.float32)
+                if video.ndim != 4 or video.shape[-1] != 3:
+                    raise ValueError(f"video must be (T,H,W,3), got {video.shape}")
+                if pts.ndim != 2 or pts.shape[-1] != 3:
+                    raise ValueError(
+                        f"query_points must be (P,3) (t,x,y), got {pts.shape}"
+                    )
+                t0 = time.perf_counter()
+                out = tracker.track_points(video, pts)
+                ms = 1e3 * (time.perf_counter() - t0)
+                stats["requests"] += 1
+                stats["frames"] += int(video.shape[0])
+                stats["track_ms"] += ms
+                self._reply(200, {
+                    "trajectories": out["trajectories"].tolist(),
+                    "visibilities": out["visibilities"].tolist(),
+                    "ms": round(ms, 2),
+                })
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(tracker, port: int, cfg_summary: dict):
+    """(server, stats) on an ephemeral or fixed port; serve_forever() to run."""
+    from http.server import ThreadingHTTPServer
+
+    stats = {
+        "requests": 0, "frames": 0, "track_ms": 0.0, "config": cfg_summary,
+    }
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(tracker, stats)
+    )
+    return server, stats
+
+
+def main():
+    p = argparse.ArgumentParser(description="serve the tracker over HTTP")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--backbone", default="resnet18_d1")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--input-size", type=int, default=256)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument(
+        "--precision", default="highest",
+        choices=["highest", "high", "default"],
+    )
+    p.add_argument(
+        "--visibility-mode", default="heatmap", choices=["none", "heatmap"],
+        help="serving defaults to real visibility estimates",
+    )
+    args = p.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import numpy as np
+
+    from fgvc_tpu.apis.test import TASK_CONFIGS, build_tracker
+
+    cfg = dataclasses.replace(
+        TASK_CONFIGS["davis"],
+        input_size=(args.input_size, args.input_size),
+        matmul_precision=args.precision,
+        visibility_mode=args.visibility_mode,
+    )
+    tracker = build_tracker(cfg, args.checkpoint, backbone=args.backbone)
+
+    # warm the compile caches with one tiny request-shaped pass so the
+    # first real request doesn't pay the propagation-scan compile
+    rng = np.random.default_rng(0)
+    video = rng.integers(
+        0, 256, (2, *cfg.input_size, 3), dtype=np.uint8
+    )
+    tracker.track_points(video, np.array([[0, 1.0, 1.0]], np.float32))
+
+    summary = {
+        "backbone": args.backbone,
+        "input_size": cfg.input_size,
+        "precision": cfg.matmul_precision,
+        "platform": jax.default_backend(),
+    }
+    server, _ = make_server(tracker, args.port, summary)
+    print(f"serving on 127.0.0.1:{args.port} ({summary})", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
