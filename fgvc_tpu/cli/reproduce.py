@@ -38,6 +38,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 # task -> (headline metric key, published reference value)
 # /root/reference/README.md:104-109
@@ -186,6 +187,10 @@ def main():
     p.add_argument("--max-videos", type=int, default=None,
                    help="cap videos per task (smoke runs; full runs omit this)")
     p.add_argument("--skip-parity", action="store_true")
+    p.add_argument("--force", action="store_true",
+                   help="run the benchmark tasks even if the feature-parity "
+                        "probe fails (default: abort — evaluating known-bad "
+                        "weights wastes hours of chip time)")
     p.add_argument("--fast-modes", action="store_true",
                    help="also run DAVIS in the study-promoted speed modes "
                         "and report metric deltas (plan step 3)")
@@ -214,6 +219,10 @@ def main():
             if not probe["ok"]:
                 print("[parity] conversion mismatch — fix before trusting "
                       "any benchmark number below")
+                if not args.force:
+                    print("[parity] aborting (pass --force to evaluate "
+                          "anyway)")
+                    sys.exit(2)
         except ImportError:
             print("[parity] torch not installed — skipping probe")
 
@@ -286,6 +295,10 @@ def main():
     with open(os.path.join(args.output_dir, "report.md"), "w") as f:
         f.write(md_text + "\n")
     print(f"report written to {args.output_dir}/report.{{json,md}}")
+    # exit nonzero when any task misses the ±0.5 reproduction bar, so a
+    # wrapping script / CI can detect a failed reproduction
+    if any(not within for *_, within in rows):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -32,11 +32,32 @@ import json
 import time
 
 
+def _resize_video(video, hw):
+    """Host-side bilinear resize of (T,H,W,3) uint8 to the model
+    resolution, same convention as datasets.tapvid._resize_video."""
+    import cv2
+    import numpy as np
+
+    h, w = hw
+    return np.stack(
+        [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in video]
+    )
+
+
 def make_handler(tracker, stats):
-    """Build the BaseHTTPRequestHandler class closed over a warm tracker."""
+    """Build the BaseHTTPRequestHandler class closed over a warm tracker.
+
+    Requests at any resolution are resized host-side to the tracker's
+    configured input_size (and query points / returned trajectories are
+    scaled to match), so every request reuses the ONE warm compile — an
+    untrusted client can never trigger a fresh propagation-scan jit (first
+    compiles take minutes) or a Mosaic shape-alignment error."""
+    import threading
     from http.server import BaseHTTPRequestHandler
 
     import numpy as np
+
+    lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
@@ -76,13 +97,31 @@ def make_handler(tracker, stats):
                         f"query_points must be (P,3) (t,x,y), got {pts.shape}"
                     )
                 t0 = time.perf_counter()
+                H, W = video.shape[1:3]
+                ih, iw = tracker.cfg.input_size
+                if (H, W) != (ih, iw):
+                    if video.dtype != np.uint8:
+                        raise ValueError(
+                            f"video is {H}x{W} but the server runs at "
+                            f"{ih}x{iw}; only uint8 RGB can be resized "
+                            "host-side (float input is assumed "
+                            "preprocessed at the model resolution)"
+                        )
+                    video = _resize_video(video, (ih, iw))
+                    pts = pts.copy()
+                    pts[:, 1] *= iw / W
+                    pts[:, 2] *= ih / H
                 out = tracker.track_points(video, pts)
+                traj = np.asarray(out["trajectories"], np.float64)
+                traj[..., 0] *= W / iw
+                traj[..., 1] *= H / ih
                 ms = 1e3 * (time.perf_counter() - t0)
-                stats["requests"] += 1
-                stats["frames"] += int(video.shape[0])
-                stats["track_ms"] += ms
+                with lock:
+                    stats["requests"] += 1
+                    stats["frames"] += int(video.shape[0])
+                    stats["track_ms"] += ms
                 self._reply(200, {
-                    "trajectories": out["trajectories"].tolist(),
+                    "trajectories": traj.tolist(),
                     "visibilities": out["visibilities"].tolist(),
                     "ms": round(ms, 2),
                 })

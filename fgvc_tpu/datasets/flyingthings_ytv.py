@@ -203,6 +203,16 @@ class FlyingThingsYtvDataset:
                 entry = vids[vid] if isinstance(vids, dict) else None
                 if isinstance(entry, (list, tuple)) and entry:
                     frames = [os.path.join(prefix, vid, f) for f in entry]
+                    missing = [f for f in frames if not os.path.exists(f)]
+                    if missing:
+                        # fail at index time with an actionable message, not
+                        # hours into training when the loader hits the path
+                        raise FileNotFoundError(
+                            f"{ytv_list} lists {len(missing)} frame(s) for "
+                            f"video {vid!r} that are missing under {prefix} "
+                            f"(first: {missing[0]}) — incomplete download "
+                            "or wrong --ytv-root?"
+                        )
                 else:
                     frames = sorted(
                         glob.glob(os.path.join(prefix, vid, "*.jpg"))

@@ -157,20 +157,7 @@ class Tracker:
         video = jnp.pad(video, ((0, pad),) + ((0, 0),) * (video.ndim - 1))
         batches = video.reshape(n, chunk, *video.shape[1:])
 
-        if self.cfg.preprocess == "imagenet":
-            from fgvc_tpu.ops.color import (
-                preprocess_rgb_to_imagenet,
-                preprocess_yuv420_to_imagenet,
-            )
-
-            pre_rgb, pre_yuv = (
-                preprocess_rgb_to_imagenet, preprocess_yuv420_to_imagenet
-            )
-        else:
-            pre_rgb, pre_yuv = (
-                preprocess_rgb_to_lab_normalized,
-                preprocess_yuv420_to_lab_normalized,
-            )
+        pre_rgb, pre_yuv = self._preprocess_fns()
 
         def body(_, imgs):
             if imgs.dtype == jnp.uint8:
@@ -184,6 +171,22 @@ class Tracker:
         _, feats = jax.lax.scan(body, None, batches)
         feats = feats.reshape(n * chunk, *feats.shape[2:])
         return feats[:T]
+
+    def _preprocess_fns(self):
+        """(pre_rgb, pre_yuv) for cfg.preprocess — the on-device uint8
+        pipeline every feature-extraction path must share (bulk scan AND
+        save_mem streaming), so zoo encoders see one normalization."""
+        if self.cfg.preprocess == "imagenet":
+            from fgvc_tpu.ops.color import (
+                preprocess_rgb_to_imagenet,
+                preprocess_yuv420_to_imagenet,
+            )
+
+            return preprocess_rgb_to_imagenet, preprocess_yuv420_to_imagenet
+        return (
+            preprocess_rgb_to_lab_normalized,
+            preprocess_yuv420_to_lab_normalized,
+        )
 
     def extract_features(self, video: jax.Array) -> jax.Array:
         return self._extract(video)
@@ -690,10 +693,12 @@ class Tracker:
         cfg = self.cfg
         T = video.shape[0]
 
+        pre_rgb, _ = self._preprocess_fns()
+
         def feat(frame):
             imgs = frame[None]
             if imgs.dtype == jnp.uint8:
-                imgs = preprocess_rgb_to_lab_normalized(imgs)
+                imgs = pre_rgb(imgs)
             return self.apply_fn(self.variables, imgs)[0]
 
         from fgvc_tpu.ops.attention import l2_normalize

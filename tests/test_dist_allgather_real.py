@@ -34,7 +34,10 @@ print("RESULT" + json.dumps([[i, d["vid"], len(d["pts"])] for i, d in merged]))
 
 
 def test_two_process_allgather_real():
-    port = 23457
+    import socket
+    with socket.socket() as _s:  # a free port, not a fixed one:
+        _s.bind(("127.0.0.1", 0))  # two suites on one box must
+        port = _s.getsockname()[1]  # not cross-connect clusters
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = _WORKER.replace("%PORT%", str(port)).replace("%REPO%", repr(repo))
     env = {

@@ -66,7 +66,10 @@ def test_two_process_train_step_matches_unsharded():
     checksum1 = float(sum(jax.numpy.sum(jax.numpy.abs(l)) for l in leaves))
 
     # ---- two real processes over a global 2-device mesh ------------------- #
-    port = 23513
+    import socket
+    with socket.socket() as _s:  # a free port, not a fixed one:
+        _s.bind(("127.0.0.1", 0))  # two suites on one box must
+        port = _s.getsockname()[1]  # not cross-connect clusters
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = _WORKER.replace("%PORT%", str(port)).replace("%REPO%", repr(repo))
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX_")}

@@ -117,7 +117,15 @@ def test_reproduce_cli_davis_end_to_end(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(
         rep, "parity_probe", lambda c: orig_probe(c, frames=1, size=64)
     )
-    main()
+    # synthetic data misses the ±0.5 reproduction bar, which since the
+    # exit-code contract landed means main() raises SystemExit(1); the
+    # report must still be fully written first
+    try:
+        main()
+        code = 0
+    except SystemExit as e:
+        code = e.code
+    assert code in (0, 1)
 
     report = json.load(open(os.path.join(out_dir, "report.json")))
     assert report["feature_parity"]["ok"]

@@ -77,6 +77,50 @@ def test_track_endpoint_matches_direct_call(server):
     assert st["requests"] >= 1 and st["frames"] >= 3
 
 
+def test_offsize_video_is_resized_to_the_warm_compile(server):
+    """A client at a different resolution must NOT trigger a fresh jit:
+    the handler resizes host-side and scales points in / trajectories out,
+    so coordinates stay in the CLIENT's pixel frame."""
+    srv, _, tracker = server
+    port = srv.server_address[1]
+    rng = np.random.default_rng(2)
+    video = rng.integers(0, 256, (3, 48, 96, 3), dtype=np.uint8)  # 2x/4x
+    pts = np.array([[0, 40.0, 20.0]], np.float32)
+
+    out = _post_npz(port, video, pts)
+    traj = np.asarray(out["trajectories"], np.float32)
+    assert traj.shape == (3, 1, 2)
+    # frame 0 of the trajectory is the query point itself, in CLIENT coords
+    np.testing.assert_allclose(traj[0, 0], [40.0, 20.0], atol=96 / 24)
+    # all coords live in the client's pixel frame, not the model's 24x24
+    assert (traj[..., 0] <= 96).all() and (traj[..., 1] <= 48).all()
+
+    # equivalent direct call at model resolution, scaled out the same way
+    from fgvc_tpu.cli.serve import _resize_video
+
+    small = _resize_video(video, tracker.cfg.input_size)
+    spts = pts.copy()
+    spts[:, 1] *= 24 / 96
+    spts[:, 2] *= 24 / 48
+    direct = tracker.track_points(small, spts)["trajectories"].copy()
+    direct[..., 0] *= 96 / 24
+    direct[..., 1] *= 48 / 24
+    np.testing.assert_allclose(traj, direct, atol=1e-4)
+
+
+def test_offsize_float_video_is_rejected(server):
+    srv, _, _ = server
+    port = srv.server_address[1]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_npz(
+            port,
+            np.zeros((2, 48, 48, 3), np.float32),
+            np.zeros((1, 3), np.float32),
+        )
+    assert ei.value.code == 400
+    assert "resized" in json.loads(ei.value.read())["error"]
+
+
 def test_bad_request_is_a_400_not_a_crash(server):
     srv, _, _ = server
     port = srv.server_address[1]

@@ -170,6 +170,39 @@ def test_save_mem_vos_matches_bank_mode():
     np.testing.assert_array_equal(outs[True], outs[False])
 
 
+def test_save_mem_honors_zoo_preprocess():
+    """uint8 video + preprocess='imagenet' (zoo encoders): the streaming
+    save_mem path must apply the SAME on-device normalization as the
+    bank path — a regression test for the hardcoded-Lab streaming feat()."""
+    import jax
+
+    from fgvc_tpu.config import TestConfig
+    from fgvc_tpu.models.resnet import init_resnet_params, resnet18_d1
+    from fgvc_tpu.models.tracker import Tracker
+
+    rng = np.random.default_rng(7)
+    T, H, W = 5, 32, 32
+    video = rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8)
+    ref_mask = np.zeros((H, W), np.uint8)
+    ref_mask[6:22, 8:26] = 1
+
+    model = resnet18_d1()
+    variables = init_resnet_params(model, jax.random.PRNGKey(2), (H, W))
+    base = dict(
+        precede_frames=3, topk=4, temperature=0.07, neighbor_range=10,
+        input_size=(H, W), frame_bucket=4, point_bucket=4, tile=8,
+        attention_impl="tiled", preprocess="imagenet",
+    )
+    outs = {}
+    for sm in (False, True):
+        cfg = TestConfig(**base, save_mem=sm)
+        tr = Tracker(
+            lambda v, x: model.apply(v, x, train=False), variables, cfg
+        )
+        outs[sm] = tr.track_masks(video, ref_mask, (H, W), num_objects=1)
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
 def test_coarse_decode_close_to_upsample_decode():
     """decode_impl='coarse' stays within a few full-res pixels of the exact
     upsample decode (random-feature maps are adversarially spiky; real
