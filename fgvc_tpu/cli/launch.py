@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Multi-process launcher — the dist_train.sh / dist_test.sh equivalent.
+
+The reference launches one worker per GPU through
+`torch.distributed.launch` (/root/reference/tools/dist_train.sh:9-11,
+dist_test.sh:10-13). Here the same one-command shape spawns N local
+processes wired to a localhost `jax.distributed` coordinator:
+
+    python tools/launch.py --nprocs 2 -- python tools/test.py --task davis ...
+    bash tools/dist_train.sh 2 --synthetic --max-steps 4 ...
+
+Per-rank coordinates travel as FGVC_COORDINATOR / FGVC_NUM_PROCESSES /
+FGVC_PROCESS_ID env vars, which every fgvc CLI picks up via
+`parallel.dist.initialize_from_flags` — so the launched command needs no
+rank-specific arguments and any entry point (or user script calling
+initialize_from_flags) works.
+
+Scope: multi-process runs on ONE machine — CPU-mesh rehearsal of the
+multi-host protocol, or hosts with several local chips. On real TPU pods
+the infrastructure starts one process per host and
+`jax.distributed.initialize()` autodetects; this launcher is not needed
+there.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def launch(nprocs: int, command: list, port: int = 0) -> int:
+    """Spawn `command` nprocs times with FGVC_* rank env vars; returns the
+    first nonzero exit code (terminating the stragglers), else 0."""
+    if not command:
+        raise ValueError("no command given (separate it with `--`)")
+    port = port or _free_port()
+    procs = []
+    for rank in range(nprocs):
+        env = dict(os.environ)
+        env["FGVC_COORDINATOR"] = f"localhost:{port}"
+        env["FGVC_NUM_PROCESSES"] = str(nprocs)
+        env["FGVC_PROCESS_ID"] = str(rank)
+        # interleaved stdio like torch.distributed.launch; rank in env lets
+        # the child prefix its own logs if it wants to
+        procs.append(subprocess.Popen(command, env=env))
+    code = 0
+    try:
+        for p in procs:
+            rc = p.wait()
+            if rc != 0 and code == 0:
+                code = rc
+                for q in procs:
+                    if q.poll() is None:
+                        q.terminate()
+    except KeyboardInterrupt:
+        for q in procs:
+            if q.poll() is None:
+                q.send_signal(signal.SIGINT)
+        for q in procs:
+            q.wait()
+        code = 130
+    return code
+
+
+def main():
+    p = argparse.ArgumentParser(
+        description="launch N coordinated processes (dist_train.sh equivalent)",
+        usage="launch.py --nprocs N [--port P] -- COMMAND [ARGS...]",
+    )
+    p.add_argument("--nprocs", type=int, required=True)
+    p.add_argument("--port", type=int, default=0,
+                   help="coordinator port (default: pick a free one)")
+    args, rest = p.parse_known_args()
+    if rest and rest[0] == "--":
+        rest = rest[1:]
+    sys.exit(launch(args.nprocs, rest, port=args.port))
+
+
+if __name__ == "__main__":
+    main()

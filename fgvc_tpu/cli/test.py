@@ -152,14 +152,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    if args.coordinator:
-        from fgvc_tpu.parallel.dist import initialize
+    from fgvc_tpu.parallel.dist import initialize_from_flags
 
-        initialize(
-            args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+    initialize_from_flags(
+        args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
 

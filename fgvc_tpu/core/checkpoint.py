@@ -20,11 +20,16 @@ def save_checkpoint(work_dir: str, state, teacher_vars, step: int) -> str:
     os.makedirs(work_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(work_dir, f"step_{step}"))
     ckpt = ocp.StandardCheckpointer()
+    # use the state's OWN step array: it carries the same global (mesh-
+    # replicated) sharding as every other leaf, which orbax requires in a
+    # multi-process run — a freshly created jnp.asarray(step) would be a
+    # host-local SingleDeviceSharding array that orbax refuses to
+    # serialize once jax.process_count() > 1
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-        "step": jax.numpy.asarray(step),
+        "step": jax.numpy.asarray(state.step),
         "teacher": teacher_vars,
     }
     ckpt.save(path, payload, force=True)

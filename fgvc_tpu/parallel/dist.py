@@ -33,6 +33,31 @@ def initialize(coordinator: Optional[str] = None, **kwargs) -> None:
     jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
 
 
+def initialize_from_flags(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-process init from CLI flags, falling back to the FGVC_* env
+    vars tools/launch.py injects (the torch.distributed.launch equivalent:
+    the reference's workers read LOCAL_RANK the same way,
+    /root/reference/tools/train.py:51-56). Explicit flags win; returns
+    False (no-op) when neither source names a coordinator."""
+    import os
+
+    coordinator = coordinator or os.environ.get("FGVC_COORDINATOR")
+    if not coordinator:
+        return False
+    if num_processes is None and os.environ.get("FGVC_NUM_PROCESSES"):
+        num_processes = int(os.environ["FGVC_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("FGVC_PROCESS_ID"):
+        process_id = int(os.environ["FGVC_PROCESS_ID"])
+    initialize(
+        coordinator, num_processes=num_processes, process_id=process_id
+    )
+    return True
+
+
 def _allgather_bytes(payload: bytes) -> List[bytes]:
     """Exchange one byte-string per process; returns all, rank order.
 

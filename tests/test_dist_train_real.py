@@ -48,6 +48,14 @@ with mesh:
     losses = {k: float(v) for k, v in losses.items()}
     leaves = jax.tree_util.tree_leaves(s2.params)
     checksum = float(sum(jax.numpy.sum(jax.numpy.abs(l)) for l in leaves))
+    # multi-process orbax save (both ranks call into the SAME work_dir):
+    # every leaf incl. step must carry the global mesh sharding —
+    # regression for the host-local step array orbax rejects once
+    # process_count() > 1
+    from fgvc_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+    path = save_checkpoint(%WORKDIR%, s2, teacher_r, int(s2.step))
+    _, _, got_step = restore_checkpoint(path, s2, teacher_r)
+    assert got_step == int(s2.step), (got_step, int(s2.step))
 print("RESULT" + json.dumps({"losses": losses, "checksum": checksum}))
 """
 
@@ -70,8 +78,15 @@ def test_two_process_train_step_matches_unsharded():
     with socket.socket() as _s:  # a free port, not a fixed one:
         _s.bind(("127.0.0.1", 0))  # two suites on one box must
         port = _s.getsockname()[1]  # not cross-connect clusters
+    import tempfile
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = _WORKER.replace("%PORT%", str(port)).replace("%REPO%", repr(repo))
+    workdir = tempfile.mkdtemp(prefix="dist_ckpt_")
+    script = (
+        _WORKER.replace("%PORT%", str(port))
+        .replace("%REPO%", repr(repo))
+        .replace("%WORKDIR%", repr(workdir))
+    )
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX_")}
     procs = [
         subprocess.Popen(
