@@ -126,6 +126,16 @@ def main():
              "by device plugins in some environments; the config API wins)",
     )
     parser.add_argument(
+        "--input-size",
+        type=int,
+        default=None,
+        help="override the task's eval resolution (task defaults are the "
+             "reference's: 256 for point tracking, full-res for VOS). "
+             "Videos are resized and metrics rescaled accordingly — "
+             "non-default sizes change the benchmark protocol; meant for "
+             "CPU smokes and calibration studies",
+    )
+    parser.add_argument(
         "--local-devices",
         type=int,
         default=None,
@@ -179,6 +189,8 @@ def main():
         overrides["visibility_mode"] = args.visibility_mode
     if args.visibility_threshold is not None:
         overrides["visibility_threshold"] = args.visibility_threshold
+    if args.input_size:
+        overrides["input_size"] = (args.input_size, args.input_size)
     cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
     from fgvc_tpu.utils.profiler import trace
 
