@@ -42,10 +42,18 @@ def main():
     parser.add_argument("--max-videos", type=int, default=None)
     parser.add_argument("--output-dir", default="eval_results")
     parser.add_argument(
+        "--config",
+        default=None,
+        help="JSON config file overlaid on the task preset (same knob "
+             "names as the reference's test_cfg; the Config.fromfile "
+             "equivalent). Explicit flags win over the file",
+    )
+    parser.add_argument(
         "--precision",
-        default="highest",
+        default=None,
         choices=["highest", "high", "default"],
-        help="affinity matmul precision (default = bf16 multiplies)",
+        help="affinity matmul precision (task preset: highest; "
+             "default = bf16 multiplies)",
     )
     parser.add_argument(
         "--save-mem",
@@ -172,11 +180,18 @@ def main():
 
     from fgvc_tpu.apis.test import TASK_CONFIGS, run_task
 
-    overrides = dict(
-        matmul_precision=args.precision,
-        save_mem=args.save_mem,
-        hard_prop=args.hard_prop,
-    )
+    base = TASK_CONFIGS[args.task]
+    if args.config:
+        from fgvc_tpu.config import config_from_file
+
+        base = config_from_file(args.config, base)
+    overrides = {}
+    if args.precision:
+        overrides["matmul_precision"] = args.precision
+    if args.save_mem:
+        overrides["save_mem"] = True
+    if args.hard_prop:
+        overrides["hard_prop"] = True
     if args.attention_impl:
         overrides["attention_impl"] = args.attention_impl
     if args.topk_impl:
@@ -191,7 +206,7 @@ def main():
         overrides["visibility_threshold"] = args.visibility_threshold
     if args.input_size:
         overrides["input_size"] = (args.input_size, args.input_size)
-    cfg = dataclasses.replace(TASK_CONFIGS[args.task], **overrides)
+    cfg = dataclasses.replace(base, **overrides)
     from fgvc_tpu.utils.profiler import trace
 
     with trace(args.profile):

@@ -30,19 +30,29 @@ def main():
              "correspondence signal; convergence evidence), noise = iid "
              "noise (pure smoke test)",
     )
-    parser.add_argument("--batch-size", type=int, default=4)
-    parser.add_argument("--crop", type=int, default=256)
-    parser.add_argument("--radius", type=int, default=24)
+    parser.add_argument(
+        "--config", default=None,
+        help="JSON config file overlaid on the TrainConfig defaults (same "
+             "knob names as fgvc_tpu.config.TrainConfig; the reference's "
+             "Config.fromfile equivalent). Explicit flags win over the file")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="global batch (default 4)")
+    parser.add_argument("--crop", type=int, default=None,
+                        help="train crop size (default 256)")
+    parser.add_argument("--radius", type=int, default=None,
+                        help="correlation radius (default 24)")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
-    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--lr", type=float, default=None,
+                        help="peak learning rate (default 1e-3)")
     parser.add_argument("--teacher", default=None,
                         help="teacher init: torch .pth, or an fgvc checkpoint "
                         "dir (its trained student becomes the frozen teacher "
                         "— the reference's staged recipe)")
     parser.add_argument("--teacher-ema", type=float, default=None)
     parser.add_argument("--no-resume", action="store_true")
-    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="train seed (default 0)")
     parser.add_argument("--val-data-root", default=None,
                         help="TAP-Vid DAVIS shards for mid-training eval")
     parser.add_argument("--val-interval", type=int, default=None)
@@ -111,9 +121,22 @@ def main():
         make_batches,
     )
 
-    weight_overrides = {
+    import dataclasses
+
+    cfg = TrainConfig()
+    if args.config:
+        from fgvc_tpu.config import config_from_file
+
+        cfg = config_from_file(args.config, cfg)
+    flag_overrides = {
         k: v
         for k, v in (
+            ("radius", args.radius),
+            ("crop_size", args.crop),
+            ("batch_size", args.batch_size),
+            ("lr", args.lr),
+            ("seed", args.seed),
+            ("grad_clip", args.grad_clip),
             ("loss_weight_l1", args.l1_weight),
             ("loss_weight_sup", args.sup_weight),
             ("loss_weight_corr_da", args.corr_da_weight),
@@ -121,18 +144,13 @@ def main():
         )
         if v is not None
     }
-    cfg = TrainConfig(
-        radius=args.radius,
-        crop_size=args.crop,
-        batch_size=args.batch_size,
-        lr=args.lr,
-        seed=args.seed,
-        grad_clip=args.grad_clip,
-        loss_scale=args.loss_scale,
-        remat=args.remat,
-        check_numerics=args.check_numerics,
-        **weight_overrides,
-    )
+    if args.loss_scale != 1.0:
+        flag_overrides["loss_scale"] = args.loss_scale
+    if args.remat:
+        flag_overrides["remat"] = True
+    if args.check_numerics:
+        flag_overrides["check_numerics"] = True
+    cfg = dataclasses.replace(cfg, **flag_overrides)
 
     if args.synthetic or not args.ytv_root:
         ds_cls = (
@@ -140,28 +158,28 @@ def main():
             if args.synthetic_mode == "structured"
             else SyntheticMixedDataset
         )
-        dataset = ds_cls(crop=args.crop, seed=args.seed)
+        dataset = ds_cls(crop=cfg.crop_size, seed=cfg.seed)
     else:
         dataset = FlyingThingsYtvDataset(
             args.ytv_root,
             args.flyingthings_root,
             ytv_list=args.ytv_list,
-            crop=args.crop,
-            seed=args.seed,
+            crop=cfg.crop_size,
+            seed=cfg.seed,
         )
 
     steps_per_epoch = args.steps_per_epoch or max(
-        len(dataset) // args.batch_size, 1
+        len(dataset) // cfg.batch_size, 1
     )
     total = args.max_steps or cfg.max_epochs * steps_per_epoch
-    batches = make_batches(dataset, args.batch_size, total)
+    batches = make_batches(dataset, cfg.batch_size, total)
 
     if args.val_data_root:
         val_fn = make_tapvid_val_fn(
             args.val_data_root, max_videos=args.val_videos
         )
     elif args.synthetic_val:
-        val_fn = make_synthetic_val_fn(args.work_dir, seed=args.seed)
+        val_fn = make_synthetic_val_fn(args.work_dir, seed=cfg.seed)
     else:
         val_fn = None
     from fgvc_tpu.utils.profiler import trace

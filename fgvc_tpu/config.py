@@ -181,3 +181,39 @@ class TrainConfig:
     # ~30% step time for activation memory, enabling larger global batches
     # per chip (jax.checkpoint on the student forward)
     remat: bool = False
+
+
+def config_from_file(path: str, base):
+    """Overlay a JSON config file onto a base config dataclass.
+
+    The reference's user surface is a config FILE (mmcv Config.fromfile,
+    /root/reference/tools/test.py:75, tools/train.py:64); the fgvc_tpu
+    equivalent is a JSON object of the SAME knob names overlaid on the task
+    preset (TestConfig) or recipe default (TrainConfig):
+
+        {"topk": 10, "neighbor_range": 30, "matmul_precision": "high"}
+
+    Unknown keys fail loudly — a silently-ignored knob is a parity trap.
+    Lists coerce to tuples for tuple-typed fields (JSON has no tuples).
+    CLI layering: preset -> file -> explicitly-passed flags.
+    """
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    if not isinstance(data, dict):
+        raise ValueError(f"{path}: expected a JSON object of config fields")
+    valid = {f.name for f in dataclasses.fields(base)}
+    unknown = sorted(set(data) - valid)
+    if unknown:
+        raise ValueError(
+            f"{path}: unknown {type(base).__name__} field(s) {unknown}; "
+            f"valid: {sorted(valid)}"
+        )
+    coerced = {
+        k: tuple(v)
+        if isinstance(v, list) and isinstance(getattr(base, k), tuple)
+        else v
+        for k, v in data.items()
+    }
+    return dataclasses.replace(base, **coerced)
