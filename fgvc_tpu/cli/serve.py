@@ -144,11 +144,33 @@ def make_server(tracker, port: int, cfg_summary: dict):
     return server, stats
 
 
+def build_serve_cfg(args):
+    """davis preset -> optional --config JSON -> explicit flags."""
+    import dataclasses
+
+    from fgvc_tpu.apis.test import TASK_CONFIGS
+
+    cfg = TASK_CONFIGS["davis"]
+    if args.config:
+        from fgvc_tpu.config import config_from_file
+
+        cfg = config_from_file(args.config, cfg)
+    return dataclasses.replace(
+        cfg,
+        input_size=(args.input_size, args.input_size),
+        matmul_precision=args.precision,
+        visibility_mode=args.visibility_mode,
+    )
+
+
 def main():
     p = argparse.ArgumentParser(description="serve the tracker over HTTP")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--backbone", default="resnet18_d1")
     p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--config", default=None,
+                   help="JSON config file overlaid on the davis preset "
+                        "(same knob names; explicit flags win)")
     p.add_argument("--input-size", type=int, default=256)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument(
@@ -161,8 +183,6 @@ def main():
     )
     args = p.parse_args()
 
-    import dataclasses
-
     import jax
 
     if args.platform:
@@ -172,14 +192,9 @@ def main():
 
     import numpy as np
 
-    from fgvc_tpu.apis.test import TASK_CONFIGS, build_tracker
+    from fgvc_tpu.apis.test import build_tracker
 
-    cfg = dataclasses.replace(
-        TASK_CONFIGS["davis"],
-        input_size=(args.input_size, args.input_size),
-        matmul_precision=args.precision,
-        visibility_mode=args.visibility_mode,
-    )
+    cfg = build_serve_cfg(args)
     tracker = build_tracker(cfg, args.checkpoint, backbone=args.backbone)
 
     # warm the compile caches with one tiny request-shaped pass so the

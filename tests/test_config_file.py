@@ -111,3 +111,20 @@ def test_shipped_configs_restate_presets():
         assert config_from_file(path, TASK_CONFIGS[task]) == TASK_CONFIGS[task]
     path = os.path.join(repo, "configs", "train", "mixed_res18_d1.json")
     assert config_from_file(path, TrainConfig()) == TrainConfig()
+
+
+def test_serve_cli_config_layering(tmp_path):
+    import argparse
+
+    from fgvc_tpu.cli.serve import build_serve_cfg
+
+    cfgfile = tmp_path / "serve.json"
+    cfgfile.write_text(json.dumps({"topk": 3, "precede_frames": 2}))
+    args = argparse.Namespace(
+        config=str(cfgfile), input_size=64, precision="high",
+        visibility_mode="heatmap",
+    )
+    cfg = build_serve_cfg(args)
+    assert cfg.topk == 3 and cfg.precede_frames == 2      # from file
+    assert cfg.input_size == (64, 64)                     # flag wins
+    assert cfg.matmul_precision == "high"
