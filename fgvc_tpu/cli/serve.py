@@ -87,6 +87,13 @@ def make_handler(tracker, stats):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                limit = stats["config"].get("max_request_mb", 512)
+                if n > limit * (1 << 20):
+                    self._reply(413, {
+                        "error": f"request {n} bytes > max_request_mb="
+                                 f"{limit} (server --max-request-mb)"
+                    })
+                    return
                 blob = np.load(io.BytesIO(self.rfile.read(n)))
                 video = np.asarray(blob["video"])
                 pts = np.asarray(blob["query_points"], np.float32)
@@ -181,6 +188,10 @@ def main():
         "--visibility-mode", default="heatmap", choices=["none", "heatmap"],
         help="serving defaults to real visibility estimates",
     )
+    p.add_argument(
+        "--max-request-mb", type=int, default=512,
+        help="reject request bodies larger than this (413)",
+    )
     args = p.parse_args()
 
     import jax
@@ -210,6 +221,7 @@ def main():
         "input_size": cfg.input_size,
         "precision": cfg.matmul_precision,
         "platform": jax.default_backend(),
+        "max_request_mb": args.max_request_mb,
     }
     server, _ = make_server(tracker, args.port, summary)
     print(f"serving on 127.0.0.1:{args.port} ({summary})", flush=True)

@@ -138,3 +138,21 @@ def test_bad_request_is_a_400_not_a_crash(server):
         f"http://127.0.0.1:{port}/healthz", timeout=60
     )
     assert health.status == 200
+
+
+def test_oversize_request_is_a_413(server):
+    srv, stats, _ = server
+    port = srv.server_address[1]
+    stats["config"]["max_request_mb"] = 0  # force the limit for the test
+    try:
+        rng = np.random.default_rng(3)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npz(
+                port,
+                rng.integers(0, 256, (2, 24, 24, 3), dtype=np.uint8),
+                np.zeros((1, 3), np.float32),
+            )
+        assert ei.value.code == 413
+        assert "max_request_mb" in json.loads(ei.value.read())["error"]
+    finally:
+        del stats["config"]["max_request_mb"]
