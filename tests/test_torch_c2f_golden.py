@@ -23,15 +23,24 @@ def ref_mods():
     return _load_ref("local_attention"), _load_ref("affinity_utils")
 
 
-@pytest.mark.parametrize("step", [None, 13])
-def test_c2f_matches_reference_torch(ref_mods, step):
+@pytest.mark.parametrize(
+    "step,scale,rf,T,neighbor_range,topk",
+    [
+        (None, 2, 2, 3, 6, 5),     # base shape
+        (13, 2, 2, 3, 6, 5),       # odd query chunking
+        (None, 4, 1, 1, 8, 3),     # big scale, single key frame
+        (None, 2, 3, 2, 4, 9),     # patch bigger than radius; topk ~ T*r²/2
+    ],
+)
+def test_c2f_matches_reference_torch(
+    ref_mods, step, scale, rf, T, neighbor_range, topk
+):
     local_attention, affinity_utils = ref_mods
     rng = np.random.default_rng(3)
     hc = wc = 6
-    scale, rf = 2, 2
     hf = wf = hc * scale
-    T, C, Cf, Cv = 3, 8, 8, 3
-    neighbor_range, temp, topk = 6, 0.1, 5
+    C, Cf, Cv = 8, 8, 3
+    temp = 0.1
 
     query = rng.standard_normal((hc, wc, C)).astype(np.float32)
     key = rng.standard_normal((T, hc, wc, C)).astype(np.float32)
