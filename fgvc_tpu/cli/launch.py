@@ -10,10 +10,11 @@ processes wired to a localhost `jax.distributed` coordinator:
     bash tools/dist_train.sh 2 --synthetic --max-steps 4 ...
 
 Per-rank coordinates travel as FGVC_COORDINATOR / FGVC_NUM_PROCESSES /
-FGVC_PROCESS_ID env vars, which every fgvc CLI picks up via
-`parallel.dist.initialize_from_flags` — so the launched command needs no
-rank-specific arguments and any entry point (or user script calling
-initialize_from_flags) works.
+FGVC_PROCESS_ID env vars. `fgvc-train` and `fgvc-test` pick them up via
+`parallel.dist.initialize_from_flags`; any user script can do the same
+(call `initialize_from_flags()` before touching jax devices). Other
+entry points (demo/serve/reproduce) are single-process by design — the
+launcher would just run N uncoordinated copies of them.
 
 Scope: multi-process runs on ONE machine — CPU-mesh rehearsal of the
 multi-host protocol, or hosts with several local chips. On real TPU pods
@@ -55,13 +56,25 @@ def launch(nprocs: int, command: list, port: int = 0) -> int:
         procs.append(subprocess.Popen(command, env=env))
     code = 0
     try:
-        for p in procs:
-            rc = p.wait()
-            if rc != 0 and code == 0:
-                code = rc
-                for q in procs:
-                    if q.poll() is None:
-                        q.terminate()
+        # poll ALL workers (torch.distributed.launch-style): a crash in ANY
+        # rank terminates the rest immediately — an ordered wait would sit
+        # on rank 0 (blocked in initialize) while a later rank lies dead
+        import time
+
+        live = list(procs)
+        while live:
+            for p in list(live):
+                rc = p.poll()
+                if rc is None:
+                    continue
+                live.remove(p)
+                if rc != 0 and code == 0:
+                    code = rc
+                    for q in procs:
+                        if q.poll() is None:
+                            q.terminate()
+            if live:
+                time.sleep(0.2)
     except KeyboardInterrupt:
         for q in procs:
             if q.poll() is None:

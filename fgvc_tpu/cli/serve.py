@@ -152,22 +152,34 @@ def make_server(tracker, port: int, cfg_summary: dict):
 
 
 def build_serve_cfg(args):
-    """davis preset -> optional --config JSON -> explicit flags."""
+    """davis preset -> optional --config JSON -> explicitly passed flags.
+
+    Serving defaults (applied only when neither the file nor a flag sets
+    the knob): input_size 256², precision 'highest', visibility 'heatmap'
+    — real visibility estimates are what a serving client wants."""
     import dataclasses
+    import json
 
     from fgvc_tpu.apis.test import TASK_CONFIGS
 
     cfg = TASK_CONFIGS["davis"]
+    file_keys = set()
     if args.config:
         from fgvc_tpu.config import config_from_file
 
         cfg = config_from_file(args.config, cfg)
-    return dataclasses.replace(
-        cfg,
-        input_size=(args.input_size, args.input_size),
-        matmul_precision=args.precision,
-        visibility_mode=args.visibility_mode,
-    )
+        with open(args.config) as f:
+            file_keys = set(json.load(f))
+    over = {}
+    if args.input_size is not None:
+        over["input_size"] = (args.input_size, args.input_size)
+    if args.precision:
+        over["matmul_precision"] = args.precision
+    if args.visibility_mode:
+        over["visibility_mode"] = args.visibility_mode
+    elif "visibility_mode" not in file_keys:
+        over["visibility_mode"] = "heatmap"
+    return dataclasses.replace(cfg, **over)
 
 
 def main():
@@ -178,15 +190,18 @@ def main():
     p.add_argument("--config", default=None,
                    help="JSON config file overlaid on the davis preset "
                         "(same knob names; explicit flags win)")
-    p.add_argument("--input-size", type=int, default=256)
+    p.add_argument("--input-size", type=int, default=None,
+                   help="model resolution (default: file's, else 256)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument(
-        "--precision", default="highest",
+        "--precision", default=None,
         choices=["highest", "high", "default"],
+        help="affinity matmul precision (default: file's, else highest)",
     )
     p.add_argument(
-        "--visibility-mode", default="heatmap", choices=["none", "heatmap"],
-        help="serving defaults to real visibility estimates",
+        "--visibility-mode", default=None, choices=["none", "heatmap"],
+        help="serving defaults to real visibility estimates (heatmap) "
+             "unless the config file or this flag says otherwise",
     )
     p.add_argument(
         "--max-request-mb", type=int, default=512,

@@ -57,7 +57,8 @@ def main():
     )
     parser.add_argument(
         "--save-mem",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=None,
         help="stream features inside the scan (full-res VOS, long videos)",
     )
     parser.add_argument(
@@ -95,7 +96,8 @@ def main():
     )
     parser.add_argument(
         "--hard-prop",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=None,
         help="VOS: argmax->one-hot re-encode the value bank each step",
     )
     parser.add_argument(
@@ -188,10 +190,10 @@ def main():
     overrides = {}
     if args.precision:
         overrides["matmul_precision"] = args.precision
-    if args.save_mem:
-        overrides["save_mem"] = True
-    if args.hard_prop:
-        overrides["hard_prop"] = True
+    if args.save_mem is not None:
+        overrides["save_mem"] = args.save_mem
+    if args.hard_prop is not None:
+        overrides["hard_prop"] = args.hard_prop
     if args.attention_impl:
         overrides["attention_impl"] = args.attention_impl
     if args.topk_impl:

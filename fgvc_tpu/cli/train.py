@@ -74,10 +74,13 @@ def main():
                         help="adversarial corr-alignment weight")
     parser.add_argument("--grad-clip", type=float, default=None,
                         help="global-norm gradient clipping")
-    parser.add_argument("--loss-scale", type=float, default=1.0)
-    parser.add_argument("--remat", action="store_true",
+    parser.add_argument("--loss-scale", type=float, default=None,
+                        help="static loss scaling (default 1.0)")
+    parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="rematerialize backbone activations (bigger batches)")
-    parser.add_argument("--check-numerics", action="store_true",
+    parser.add_argument("--check-numerics",
+                        action=argparse.BooleanOptionalAction, default=None,
                         help="raise on the first non-finite loss/gradient "
                         "(detect_anomaly equivalent; costs a per-step sync)")
     parser.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -141,15 +144,12 @@ def main():
             ("loss_weight_sup", args.sup_weight),
             ("loss_weight_corr_da", args.corr_da_weight),
             ("matmul_precision", args.precision),
+            ("loss_scale", args.loss_scale),
+            ("remat", args.remat),
+            ("check_numerics", args.check_numerics),
         )
         if v is not None
     }
-    if args.loss_scale != 1.0:
-        flag_overrides["loss_scale"] = args.loss_scale
-    if args.remat:
-        flag_overrides["remat"] = True
-    if args.check_numerics:
-        flag_overrides["check_numerics"] = True
     cfg = dataclasses.replace(cfg, **flag_overrides)
 
     if args.synthetic or not args.ytv_root:

@@ -97,6 +97,16 @@ def test_test_cli_config_layering(tmp_path, monkeypatch):
     assert cfg.matmul_precision == "high"      # flag wins
     assert cfg.step == 512                     # davis preset preserved
 
+    # boolean knobs can be reset from the command line (--no-save-mem
+    # beats a file that turned save_mem on)
+    cfgfile.write_text(json.dumps({"save_mem": True}))
+    monkeypatch.setattr(sys, "argv", [
+        "test", "--task", "vos", "--data-root", str(tmp_path),
+        "--config", str(cfgfile), "--no-save-mem", "--platform", "cpu",
+    ])
+    main()
+    assert captured["cfg"].save_mem is False
+
 
 def test_shipped_configs_restate_presets():
     """configs/*.json must stay in sync with the built-in presets."""
@@ -119,12 +129,25 @@ def test_serve_cli_config_layering(tmp_path):
     from fgvc_tpu.cli.serve import build_serve_cfg
 
     cfgfile = tmp_path / "serve.json"
-    cfgfile.write_text(json.dumps({"topk": 3, "precede_frames": 2}))
+    cfgfile.write_text(json.dumps({
+        "topk": 3, "precede_frames": 2, "matmul_precision": "default",
+        "input_size": [320, 320], "visibility_mode": "none",
+    }))
     args = argparse.Namespace(
-        config=str(cfgfile), input_size=64, precision="high",
-        visibility_mode="heatmap",
+        config=str(cfgfile), input_size=64, precision=None,
+        visibility_mode=None,
     )
     cfg = build_serve_cfg(args)
     assert cfg.topk == 3 and cfg.precede_frames == 2      # from file
     assert cfg.input_size == (64, 64)                     # flag wins
-    assert cfg.matmul_precision == "high"
+    assert cfg.matmul_precision == "default"              # file survives
+    assert cfg.visibility_mode == "none"                  # file survives
+
+    # no file, no flags: serving defaults
+    args = argparse.Namespace(
+        config=None, input_size=None, precision=None, visibility_mode=None,
+    )
+    cfg = build_serve_cfg(args)
+    assert cfg.input_size == (256, 256)
+    assert cfg.matmul_precision == "highest"
+    assert cfg.visibility_mode == "heatmap"

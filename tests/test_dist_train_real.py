@@ -60,7 +60,7 @@ print("RESULT" + json.dumps({"losses": losses, "checksum": checksum}))
 """
 
 
-def test_two_process_train_step_matches_unsharded():
+def test_two_process_train_step_matches_unsharded(tmp_path):
     import jax
 
     from test_train import _tiny_setup
@@ -78,10 +78,8 @@ def test_two_process_train_step_matches_unsharded():
     with socket.socket() as _s:  # a free port, not a fixed one:
         _s.bind(("127.0.0.1", 0))  # two suites on one box must
         port = _s.getsockname()[1]  # not cross-connect clusters
-    import tempfile
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    workdir = tempfile.mkdtemp(prefix="dist_ckpt_")
+    workdir = str(tmp_path / "dist_ckpt")
     script = (
         _WORKER.replace("%PORT%", str(port))
         .replace("%REPO%", repr(repo))

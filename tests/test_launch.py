@@ -47,6 +47,32 @@ def test_launcher_spawns_coordinated_workers(tmp_path):
     assert out.stdout.count("WORKER_OK") == 2, out.stdout
 
 
+def test_launcher_detects_late_rank_failure_fast(tmp_path):
+    """A crash in a HIGHER rank must terminate the fleet promptly — the
+    launcher polls all workers rather than waiting in rank order."""
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    w = tmp_path / "w.py"
+    w.write_text(
+        "import os, sys, time\n"
+        "if os.environ['FGVC_PROCESS_ID'] == '1':\n"
+        "    sys.exit(5)\n"
+        "time.sleep(120)\n"
+    )
+    t0 = time.monotonic()
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "tools", "launch.py"),
+            "--nprocs", "2", "--",
+            sys.executable, str(w),
+        ],
+        capture_output=True, text=True, timeout=110, cwd=repo,
+    )
+    assert out.returncode == 5
+    assert time.monotonic() - t0 < 60, "launcher waited on rank 0 instead"
+
+
 def test_launcher_propagates_failure(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bad = tmp_path / "bad.py"

@@ -79,17 +79,25 @@ def main():
             continue
         out_dir = os.path.join(args.out, os.path.basename(vid))
         os.makedirs(out_dir, exist_ok=True)
-        imgs = tracker._preprocess(
-            np.stack([
-                cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in frames
-            ])
-        )
+        raw = np.stack([
+            cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB) for f in frames
+        ])
+        # RAFT's stride-8 encoder needs 8-divisible frames (the reference
+        # wraps this in InputPadder, prepare_youtube_flow.py:80-88): pad
+        # bottom/right with edge replication, crop the flow back after —
+        # otherwise real s256 frames (e.g. 256x455) would silently produce
+        # misaligned 256x456 flows
+        H, W = raw.shape[1:3]
+        ph, pw = (-H) % 8, (-W) % 8
+        if ph or pw:
+            raw = np.pad(raw, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        imgs = tracker._preprocess(raw)
         for a, b in zip(range(len(frames) - 1), range(1, len(frames))):
             base = os.path.splitext(os.path.basename(frames[a]))[0]
             for mode, (i, j) in (("forward", (a, b)), ("backward", (b, a))):
                 flow = np.asarray(
                     tracker._flow_fn(tracker.variables, imgs[i], imgs[j])
-                )
+                )[:H, :W]
                 if args.format == "flo":
                     write_flo(os.path.join(out_dir, f"{mode}_{base}.flo"), flow)
                 else:
