@@ -14,6 +14,8 @@ program and answers tracking requests over HTTP.
 Endpoints:
   POST /v1/track   — body: .npz {video, query_points}; reply: JSON
                      {trajectories: (T,P,2), visibilities: (T,P), ms}
+  POST /v1/vos     — body: .npz {video, first_mask}; reply: JSON
+                     {masks: (T,H,W) int labels, num_objects, ms}
   GET  /healthz    — liveness + config summary (200 once warm)
   GET  /stats      — request counter / cumulative frames / wall time
 
@@ -82,6 +84,9 @@ def make_handler(tracker, stats):
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if self.path == "/v1/vos":
+                self._do_vos()
+                return
             if self.path != "/v1/track":
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
@@ -133,6 +138,55 @@ def make_handler(tracker, stats):
                     "ms": round(ms, 2),
                 })
             except Exception as e:  # noqa: BLE001 — surface to the client
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def _do_vos(self):
+            """Mask propagation: npz {video (T,H,W,3) uint8, first_mask
+            (H,W) int labels} -> {masks: (T,H,W) int, num_objects, ms}.
+            Masks come back at the CLIENT's resolution (decode_hw)."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                limit = stats["config"].get("max_request_mb", 512)
+                if n > limit * (1 << 20):
+                    self._reply(413, {
+                        "error": f"request {n} bytes > max_request_mb={limit}"
+                    })
+                    return
+                blob = np.load(io.BytesIO(self.rfile.read(n)))
+                video = np.asarray(blob["video"])
+                mask0 = np.asarray(blob["first_mask"])
+                if video.ndim != 4 or video.shape[-1] != 3:
+                    raise ValueError(f"video must be (T,H,W,3), got {video.shape}")
+                if mask0.shape != video.shape[1:3]:
+                    raise ValueError(
+                        f"first_mask {mask0.shape} must match frames "
+                        f"{video.shape[1:3]}"
+                    )
+                t0 = time.perf_counter()
+                H, W = video.shape[1:3]
+                ih, iw = tracker.cfg.input_size
+                if (H, W) != (ih, iw):
+                    if video.dtype != np.uint8:
+                        raise ValueError(
+                            f"video is {H}x{W} but the server runs at "
+                            f"{ih}x{iw}; only uint8 RGB can be resized"
+                        )
+                    video = _resize_video(video, (ih, iw))
+                num_objects = int(mask0.max())
+                masks = tracker.track_masks(
+                    video, mask0.astype(np.uint8), (H, W), num_objects
+                )
+                ms = 1e3 * (time.perf_counter() - t0)
+                with lock:
+                    stats["requests"] += 1
+                    stats["frames"] += int(video.shape[0])
+                    stats["track_ms"] += ms
+                self._reply(200, {
+                    "masks": np.asarray(masks).tolist(),
+                    "num_objects": num_objects,
+                    "ms": round(ms, 2),
+                })
+            except Exception as e:  # noqa: BLE001
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

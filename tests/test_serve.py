@@ -156,3 +156,28 @@ def test_oversize_request_is_a_413(server):
         assert "max_request_mb" in json.loads(ei.value.read())["error"]
     finally:
         del stats["config"]["max_request_mb"]
+
+
+def test_vos_endpoint_matches_direct_call(server):
+    srv, _, tracker = server
+    port = srv.server_address[1]
+    rng = np.random.default_rng(4)
+    video = rng.integers(0, 256, (3, 24, 24, 3), dtype=np.uint8)
+    mask0 = np.zeros((24, 24), np.uint8)
+    mask0[4:14, 6:18] = 1
+    mask0[16:22, 2:8] = 2
+
+    buf = io.BytesIO()
+    np.savez(buf, video=video, first_mask=mask0)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/vos", data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    masks = np.asarray(out["masks"])
+    assert masks.shape == (3, 24, 24)
+    assert out["num_objects"] == 2
+    direct = tracker.track_masks(video, mask0, (24, 24), 2)
+    np.testing.assert_array_equal(masks, direct)
+    # frame 0 echoes the reference mask
+    np.testing.assert_array_equal(masks[0], mask0)
