@@ -9,6 +9,13 @@ Examples:
     python tools/export.py --out /tmp/fgvc_step.jaxexp --check
     python tools/export.py --checkpoint res18_d1_*.pth --platforms tpu \
         --attention-impl pallas --input-size 256 256 --out step.jaxexp
+
+``--format torch`` instead exports the encoder as a reference-compatible
+torch ``.pth`` (mmcv naming), so a student trained HERE can be evaluated
+with the reference's own tools/test.py — the reverse of loading their
+released checkpoints:
+    python tools/export.py --format torch --checkpoint runs/mixed/best \
+        --out student.pth
 """
 
 from __future__ import annotations
@@ -39,7 +46,14 @@ def main(argv=None):
     parser.add_argument("--check", action="store_true",
                         help="round-trip: deserialize and compare against "
                         "direct execution")
+    parser.add_argument("--format", default="stablehlo",
+                        choices=["stablehlo", "torch"],
+                        help="torch = reference-compatible encoder .pth")
     args = parser.parse_args(argv)
+
+    if args.format == "torch":
+        _export_torch(args)
+        return
 
     if args.platform:
         import jax
@@ -91,6 +105,49 @@ def main(argv=None):
         print(f"round-trip max|Δ| = {err:.3e}")
         assert err < 1e-5, err
         print("check ok")
+
+
+def _export_torch(args):
+    """Encoder variables -> reference-compatible torch .pth."""
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import torch
+
+    from fgvc_tpu.models.torch_convert import export_resnet_state_dict
+
+    if not args.checkpoint:
+        raise SystemExit("--format torch needs --checkpoint (orbax dir, "
+                         "work_dir best/latest pointer, or a .pth to "
+                         "re-normalize)")
+    if args.checkpoint.endswith(".pth"):
+        from fgvc_tpu.models.torch_convert import (
+            convert_resnet_state_dict,
+            load_torch_state_dict,
+        )
+
+        variables = convert_resnet_state_dict(
+            load_torch_state_dict(args.checkpoint)
+        )
+    else:
+        from fgvc_tpu.apis.test import _restore_orbax
+
+        variables = _restore_orbax(args.checkpoint)
+        if "backbone" in variables.get("params", {}):
+            variables = {
+                "params": variables["params"]["backbone"],
+                "batch_stats": variables["batch_stats"],
+            }
+    state = export_resnet_state_dict(variables)
+    torch.save(
+        {"state_dict": {k: torch.from_numpy(
+            __import__("numpy").ascontiguousarray(v)) for k, v in state.items()}},
+        args.out,
+    )
+    print(f"wrote reference-compatible checkpoint: {args.out} "
+          f"({len(state)} tensors, mmcv naming, 'backbone.' prefix)")
 
 
 if __name__ == "__main__":

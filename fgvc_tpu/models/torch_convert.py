@@ -144,3 +144,64 @@ def _to_jnp(tree):
     if isinstance(tree, dict):
         return {k: _to_jnp(v) for k, v in tree.items()}
     return jnp.asarray(tree)
+
+
+def export_resnet_state_dict(
+    variables: Mapping[str, Any], prefix: str = "backbone."
+) -> Dict[str, np.ndarray]:
+    """Inverse of convert_resnet_state_dict: flax ResNet variables →
+    a torch state dict in the reference's mmcv ConvModule naming
+    (conv1.conv.weight / conv1.bn.* / layerX.Y.convN.{conv.weight,bn.*} /
+    downsample.{conv.weight,bn.*} — resnet.py:525-603), so an encoder
+    trained HERE loads into the reference's `ResNet` for cross-checking.
+
+    Returns {name: numpy array}; save it for torch with
+    ``torch.save({'state_dict': {k: torch.from_numpy(v) ...}}, path)``
+    (tools/export.py --format torch does this).
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    def kern(w):
+        # HWIO (flax) -> OIHW (torch)
+        return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+    def put_bn(torch_base, flax_bn_params, flax_bn_stats):
+        out[f"{torch_base}.weight"] = np.asarray(flax_bn_params["scale"])
+        out[f"{torch_base}.bias"] = np.asarray(flax_bn_params["bias"])
+        out[f"{torch_base}.running_mean"] = np.asarray(flax_bn_stats["mean"])
+        out[f"{torch_base}.running_var"] = np.asarray(flax_bn_stats["var"])
+        out[f"{torch_base}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    p = prefix
+    out[f"{p}conv1.conv.weight"] = kern(params["conv1"]["kernel"])
+    put_bn(f"{p}conv1.bn", params["bn1"], stats["bn1"])
+
+    block_re = re.compile(r"^layer(\d+)_(\d+)$")
+    for name in sorted(params):
+        m = block_re.match(name)
+        if not m:
+            continue
+        li, bj = m.groups()
+        base = f"{p}layer{li}.{bj}"
+        blk_p, blk_s = params[name], stats[name]
+        for conv_i in (1, 2, 3):
+            if f"conv{conv_i}" not in blk_p:
+                continue
+            out[f"{base}.conv{conv_i}.conv.weight"] = kern(
+                blk_p[f"conv{conv_i}"]["kernel"]
+            )
+            put_bn(
+                f"{base}.conv{conv_i}.bn",
+                blk_p[f"bn{conv_i}"], blk_s[f"bn{conv_i}"],
+            )
+        if "downsample_conv" in blk_p:
+            out[f"{base}.downsample.conv.weight"] = kern(
+                blk_p["downsample_conv"]["kernel"]
+            )
+            put_bn(
+                f"{base}.downsample.bn",
+                blk_p["downsample_bn"], blk_s["downsample_bn"],
+            )
+    return out
