@@ -11,6 +11,10 @@ query points is used instead of explicit --points.
 
 --correspondence renders a frame-pair dense-match overlay (the notebook
 demo path) instead of a trajectory video.
+
+--mask <png> propagates a first-frame label mask through the video and
+renders colorized mask overlays (the VOS path; no reference demo
+equivalent — their VOS results are bare .npy dumps).
 """
 
 import argparse
@@ -51,6 +55,13 @@ def main():
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--out", default="demo.mp4")
     parser.add_argument("--correspondence", action="store_true")
+    parser.add_argument(
+        "--mask",
+        default=None,
+        metavar="PNG",
+        help="first-frame integer label mask — propagate it (VOS) and "
+             "render colorized overlays instead of point tracks",
+    )
     parser.add_argument(
         "--backbone",
         default="resnet18_d1",
@@ -121,6 +132,29 @@ def main():
 
         cv2.imwrite(args.out, cv2.cvtColor(out_img, cv2.COLOR_RGB2BGR))
         print(f"wrote {args.out}")
+        return
+
+    if args.mask:
+        import cv2
+
+        from fgvc_tpu.utils.visualize import mask_overlay
+
+        mask0 = cv2.imread(args.mask, cv2.IMREAD_GRAYSCALE)
+        if mask0 is None:
+            raise SystemExit(f"cannot read mask {args.mask}")
+        num_objects = int(mask0.max())
+        if num_objects == 0:
+            raise SystemExit(f"{args.mask} has no nonzero labels")
+        masks = tracker.track_masks(
+            video, mask0.astype(np.uint8),
+            (video.shape[1], video.shape[2]), num_objects,
+        )
+        vid = mask_overlay(video, np.asarray(masks))
+        save_video(vid, args.out)
+        print(
+            f"wrote {args.out} ({video.shape[0]} frames, "
+            f"{num_objects} objects)"
+        )
         return
 
     if args.grid:

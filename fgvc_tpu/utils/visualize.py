@@ -121,3 +121,20 @@ def correspondence_overlay(
         cv2.circle(canvas, (int(x2) + off, int(y2)), 2, c, -1)
         cv2.line(canvas, (int(x1), int(y1)), (int(x2) + off, int(y2)), c, 1)
     return canvas
+
+
+def mask_overlay(
+    frames: np.ndarray,   # (T, H, W, 3) uint8
+    masks: np.ndarray,    # (T, H, W) int labels (0 = background)
+    alpha: float = 0.5,
+) -> np.ndarray:
+    """Colorize propagated VOS masks over the frames (the DAVIS overlay
+    helpers' role, /root/reference/mmpt/utils/helpers.py:23-70)."""
+    num_objects = int(masks.max())
+    colors = point_colors(max(num_objects, 1))
+    out = frames.astype(np.float32).copy()
+    for obj in range(1, num_objects + 1):
+        sel = masks == obj
+        c = colors[obj - 1].astype(np.float32)
+        out[sel] = (1 - alpha) * out[sel] + alpha * c
+    return np.clip(out, 0, 255).astype(np.uint8)

@@ -42,3 +42,32 @@ def test_demo_trajectory_and_correspondence(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert out_png.exists() and out_png.stat().st_size > 0
+
+
+def test_demo_vos_mask_mode(tmp_path, monkeypatch):
+    import sys
+
+    import cv2
+    import numpy as np
+
+    from fgvc_tpu.cli.demo import main
+
+    rng = np.random.default_rng(2)
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    for t in range(3):
+        cv2.imwrite(
+            str(fdir / f"{t:03d}.jpg"),
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+        )
+    mask = np.zeros((32, 32), np.uint8)
+    mask[8:20, 10:24] = 1
+    cv2.imwrite(str(tmp_path / "mask.png"), mask)
+    out = str(tmp_path / "vos.mp4")
+    monkeypatch.setattr(sys, "argv", [
+        "demo", "--frames", str(fdir), "--size", "32",
+        "--mask", str(tmp_path / "mask.png"), "--out", out,
+        "--platform", "cpu",
+    ])
+    main()
+    assert os.path.exists(out) and os.path.getsize(out) > 0
