@@ -26,7 +26,19 @@ _PROBE = """
 import time
 import jax, jax.numpy as jnp
 if %PLATFORM%:
-    jax.config.update("jax_platforms", %PLATFORM%)
+    # "tpu" may be served by an alternate plugin name (see
+    # fgvc_tpu.utils.env.force_platform — inlined here because this probe
+    # runs as a bare `python -c` subprocess)
+    _p = %PLATFORM%
+    _names = ("tpu", "axon") if _p == "tpu" else (_p,)
+    for _i, _n in enumerate(_names):
+        jax.config.update("jax_platforms", _n)
+        try:
+            if jax.devices()[0].platform == ("tpu" if _p == "tpu" else _n):
+                break
+        except RuntimeError:
+            if _i == len(_names) - 1:
+                raise
 t0 = time.perf_counter()
 d = jax.devices()
 x = jnp.ones((256, 256))
@@ -83,10 +95,10 @@ def run_checks(probe_timeout: float = 60.0, platform: str = None) -> dict:
     # in-process query of a DIFFERENT backend could still hang on a dead
     # tunnel)
     if report["checks"]["backend"]["ok"]:
-        import jax
-
         if platform:
-            jax.config.update("jax_platforms", platform)
+            from fgvc_tpu.utils.env import force_platform
+
+            force_platform(platform)
         report["env"] = collect_env()
 
     # 2. native fgpack library

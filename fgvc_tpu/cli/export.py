@@ -56,9 +56,9 @@ def main(argv=None):
         return
 
     if args.platform:
-        import jax
+        from fgvc_tpu.utils.env import force_platform
 
-        jax.config.update("jax_platforms", args.platform)
+        force_platform(args.platform)
     import jax
     import numpy as np
 
@@ -110,9 +110,9 @@ def main(argv=None):
 def _export_torch(args):
     """Encoder variables -> reference-compatible torch .pth."""
     if args.platform:
-        import jax
+        from fgvc_tpu.utils.env import force_platform
 
-        jax.config.update("jax_platforms", args.platform)
+        force_platform(args.platform)
 
     import torch
 

@@ -99,7 +99,9 @@ def main():
     import jax
 
     if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+        from fgvc_tpu.utils.env import force_platform
+
+        force_platform(args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

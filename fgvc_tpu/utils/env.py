@@ -10,6 +10,45 @@ import sys
 from typing import Dict, Optional
 
 
+# PJRT plugins may register TPU hardware under a platform name other than
+# "tpu" (e.g. a tunneled chip registers as "axon" while its devices still
+# report .platform == "tpu").  Forcing jax_platforms="tpu" then fails with
+# "No jellyfish device found" even though a TPU is reachable.
+_TPU_PLATFORM_ALIASES = ("tpu", "axon")
+
+
+def force_platform(name: str) -> None:
+    """Force the jax platform by name, resolving TPU plugin aliases.
+
+    Must be called before any other jax use (backends are cached once
+    initialized).  ``name == "tpu"`` tries each known TPU-providing
+    plugin name in turn and keeps the first whose devices identify as
+    TPU; other names are forced literally.
+    """
+    import jax
+
+    if name != "tpu":
+        jax.config.update("jax_platforms", name)
+        return
+    errors = []
+    for candidate in _TPU_PLATFORM_ALIASES:
+        jax.config.update("jax_platforms", candidate)
+        try:
+            devices = jax.devices()
+        except RuntimeError as e:  # backend init failed; try the next alias
+            errors.append(f"{candidate}: {e}")
+            continue
+        if devices and devices[0].platform == "tpu":
+            return
+        errors.append(f"{candidate}: devices are {devices}")
+    raise RuntimeError(
+        "no TPU platform available (tried "
+        + ", ".join(_TPU_PLATFORM_ALIASES)
+        + "):\n"
+        + "\n".join(errors)
+    )
+
+
 def collect_env() -> Dict[str, str]:
     import jax
 
