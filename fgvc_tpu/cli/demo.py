@@ -15,6 +15,10 @@ demo path) instead of a trajectory video.
 --mask <png> propagates a first-frame label mask through the video and
 renders colorized mask overlays (the VOS path; no reference demo
 equivalent — their VOS results are bare .npy dumps).
+
+--video <file.mp4> decodes a video file instead of a frame directory,
+through the pipeline's loading stages (datasets/video_decode.py — the
+loading.py:81-1171 equivalents), with --stride / --max-frames.
 """
 
 import argparse
@@ -45,9 +49,40 @@ def load_frames(frame_dir, size):
     return np.stack(frames)
 
 
+def load_video(video_path, size, stride=1, max_frames=0):
+    """Decode a video file through the pipeline's loading stages
+    (datasets/video_decode.py, the loading.py:81-1171 equivalents)."""
+    import cv2
+
+    from fgvc_tpu.datasets.video_decode import VideoDecode, VideoInit
+
+    res = VideoInit()({"filename": video_path})
+    if res["total_frames"] == 0:
+        raise SystemExit(f"no decodable frames in {video_path}")
+    inds = np.arange(0, res["total_frames"], max(stride, 1))
+    if max_frames:
+        inds = inds[:max_frames]
+    res["frame_inds"] = inds
+    res = VideoDecode()(res)
+    return np.stack(
+        [
+            cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+            for img in res["imgs"]
+        ]
+    )
+
+
 def main():
     parser = argparse.ArgumentParser(description="fgvc_tpu demo")
-    parser.add_argument("--frames", required=True)
+    parser.add_argument("--frames", default=None,
+                        help="directory of jpg/png frames")
+    parser.add_argument("--video", default=None,
+                        help="video file (mp4/mkv/webm) decoded via the "
+                             "pipeline's cv2 loading stages")
+    parser.add_argument("--stride", type=int, default=1,
+                        help="temporal stride when decoding --video")
+    parser.add_argument("--max-frames", type=int, default=0,
+                        help="cap decoded frames of --video (0 = all)")
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--points", nargs="*", default=[])
     parser.add_argument("--grid", type=int, default=0)
@@ -94,7 +129,15 @@ def main():
         save_video,
     )
 
-    video = load_frames(args.frames, args.size)
+    if bool(args.frames) == bool(args.video):
+        raise SystemExit("give exactly one of --frames / --video")
+    if args.video:
+        video = load_video(
+            args.video, args.size, stride=args.stride,
+            max_frames=args.max_frames,
+        )
+    else:
+        video = load_frames(args.frames, args.size)
     import dataclasses
 
     cfg = dataclasses.replace(

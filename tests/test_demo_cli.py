@@ -71,3 +71,42 @@ def test_demo_vos_mask_mode(tmp_path, monkeypatch):
     ])
     main()
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_demo_video_file_input(tmp_path, monkeypatch):
+    """--video decodes an mp4 through the pipeline loading stages
+    (datasets/video_decode.py) with stride/max-frames applied."""
+    import sys
+
+    import cv2
+    import pytest
+
+    from fgvc_tpu.cli.demo import main
+
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 48))
+    if not w.isOpened():
+        pytest.skip("no mp4 encoder in this cv2 build")
+    for _ in range(6):
+        w.write(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8))
+    w.release()
+    out = str(tmp_path / "demo.mp4")
+    monkeypatch.setattr(sys, "argv", [
+        "demo", "--video", path, "--stride", "2", "--max-frames", "3",
+        "--grid", "2", "--size", "32", "--out", out, "--platform", "cpu",
+    ])
+    main()
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_demo_rejects_both_or_neither_source(tmp_path, monkeypatch):
+    import sys
+
+    import pytest
+
+    from fgvc_tpu.cli.demo import main
+
+    monkeypatch.setattr(sys, "argv", ["demo", "--out", "x.mp4"])
+    with pytest.raises(SystemExit):
+        main()

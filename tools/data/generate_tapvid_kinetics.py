@@ -14,9 +14,15 @@ format ({'video': (T,H,W,3) uint8, 'points': (N,T,2) in [0,1],
 import argparse
 import csv
 import os
+import sys
 from collections import defaultdict
 
 import numpy as np
+
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
 
 
 def read_annotations(csv_path):
@@ -56,21 +62,18 @@ def main():
                 break
         if path is None:
             continue
-        cap = cv2.VideoCapture(path)
-        frames = []
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            frames.append(
-                cv2.resize(
-                    cv2.cvtColor(frame, cv2.COLOR_BGR2RGB),
-                    (args.size, args.size),
-                )
-            )
-        cap.release()
-        if not frames:
+        # decode through the pipeline stages (datasets/video_decode.py —
+        # the loading.py equivalents) rather than an ad-hoc cv2 loop
+        from fgvc_tpu.datasets.video_decode import VideoDecode, VideoInit
+
+        res = VideoInit()({"filename": path})
+        if res["total_frames"] == 0:
             continue
+        res["frame_inds"] = np.arange(res["total_frames"])
+        res = VideoDecode()(res)
+        frames = [
+            cv2.resize(img, (args.size, args.size)) for img in res["imgs"]
+        ]
         video = np.stack(frames)
         T = len(frames)
         pids = sorted(points)
