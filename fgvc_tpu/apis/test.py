@@ -537,6 +537,7 @@ def run_task(
     local_devices: Optional[int] = None,
     spatial_devices: Optional[int] = None,
     backbone: str = "resnet18_d1",
+    annotations: Optional[str] = None,
 ) -> Dict[str, float]:
     """Mirror of `tools/test.py --task ...` (tools/test.py:121-198).
 
@@ -547,6 +548,10 @@ def run_task(
     sample_queries_strided, tapvid_evaluation_datasets.py:283); frames
     before a query stay zero-predicted, as in the reference's forward-only
     propagation, and the metrics switch to the strided protocol.
+
+    annotations (kinetics only) evaluates --data-root's video clips
+    directly against the released CSV (datasets/tapvid_kinetics.py),
+    skipping pickle materialization.
 
     local_devices round-robins whole videos over local devices (throughput
     scaling); spatial_devices shards each frame's query rows over a 'space'
@@ -607,6 +612,11 @@ def run_task(
         tracker = build_tracker(
             cfg, checkpoint, spatial_mesh=spatial_mesh, backbone=backbone
         )
+    if annotations and task != "kinetics":
+        raise ValueError(
+            "--annotations (CSV + clips mode) applies to --task kinetics "
+            f"only, not {task!r}"
+        )
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset
 
@@ -614,10 +624,20 @@ def run_task(
         # synthetic calibration studies, smoke tests) resizes the videos to
         # the resolution the tracker was configured for — at the task
         # defaults this is a no-op (both sides say 256²)
-        ds = TapVidDataset(
-            data_root, subset_name=task, query_mode=query_mode,
-            input_size=cfg.input_size,
-        )
+        if annotations:
+            from fgvc_tpu.datasets.tapvid_kinetics import (
+                TapVidKineticsVideoDataset,
+            )
+
+            ds = TapVidKineticsVideoDataset(
+                data_root, annotations, query_mode=query_mode,
+                input_size=cfg.input_size,
+            )
+        else:
+            ds = TapVidDataset(
+                data_root, subset_name=task, query_mode=query_mode,
+                input_size=cfg.input_size,
+            )
         return eval_tapvid(
             tracker, ds, max_videos, rank=rank, world=world,
             output_dir=output_dir, devices=devices,

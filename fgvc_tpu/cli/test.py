@@ -24,6 +24,14 @@ def main():
     )
     parser.add_argument("--data-root", required=True)
     parser.add_argument("--list-path", default=None)
+    parser.add_argument(
+        "--annotations",
+        default=None,
+        metavar="CSV",
+        help="TAP-Vid-Kinetics annotation CSV: evaluate --data-root's "
+             "video clips directly (datasets/tapvid_kinetics.py), "
+             "skipping the pickle-generation step",
+    )
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument(
         "--model",
@@ -227,6 +235,7 @@ def main():
             local_devices=args.local_devices,
             spatial_devices=args.spatial_devices,
             backbone=args.backbone,
+            annotations=args.annotations,
         )
     print(json.dumps(results, indent=2, default=float))
 

@@ -26,16 +26,13 @@ sys.path.insert(
 
 
 def read_annotations(csv_path):
-    """CSV rows: video_id, point_id, frame, x, y, occluded."""
-    per_video = defaultdict(lambda: defaultdict(dict))
-    with open(csv_path) as f:
-        for row in csv.reader(f):
-            if not row or row[0] == "video_id":
-                continue
-            vid, pid, frame = row[0], int(row[1]), int(row[2])
-            x, y, occ = float(row[3]), float(row[4]), int(float(row[5]))
-            per_video[vid][pid][frame] = (x, y, occ)
-    return per_video
+    """CSV join shared with the no-pickle eval path
+    (fgvc_tpu/datasets/tapvid_kinetics.py — `--task kinetics
+    --annotations csv` evaluates clips directly, making this tool
+    optional)."""
+    from fgvc_tpu.datasets.tapvid_kinetics import read_annotations as _ra
+
+    return _ra(csv_path)
 
 
 def main():
@@ -51,15 +48,12 @@ def main():
     import cv2
 
     os.makedirs(args.out, exist_ok=True)
+    from fgvc_tpu.datasets.tapvid_kinetics import find_clip
+
     annos = read_annotations(args.csv)
     n_ok = 0
     for vid, points in annos.items():
-        path = None
-        for ext in (".mp4", ".mkv", ".webm"):
-            cand = os.path.join(args.video_root, vid + ext)
-            if os.path.exists(cand):
-                path = cand
-                break
+        path = find_clip(args.video_root, vid)
         if path is None:
             continue
         # decode through the pipeline stages (datasets/video_decode.py —
@@ -75,15 +69,9 @@ def main():
             cv2.resize(img, (args.size, args.size)) for img in res["imgs"]
         ]
         video = np.stack(frames)
-        T = len(frames)
-        pids = sorted(points)
-        pts = np.zeros((len(pids), T, 2), np.float32)
-        occ = np.ones((len(pids), T), bool)
-        for i, pid in enumerate(pids):
-            for t, (x, y, o) in points[pid].items():
-                if t < T:
-                    pts[i, t] = (x, y)  # already normalized [0, 1]
-                    occ[i, t] = bool(o)
+        from fgvc_tpu.datasets.tapvid_kinetics import assemble_tracks
+
+        pts, occ = assemble_tracks(points, len(frames))  # [0,1] coords
         with open(os.path.join(args.out, f"{vid}.pkl"), "wb") as f:
             pickle.dump({"video": video, "points": pts, "occluded": occ}, f)
         n_ok += 1
