@@ -181,6 +181,18 @@ def train_model(
         jax.random.PRNGKey(cfg.seed), steps_per_epoch
     )
     if teacher_init:
+        # a work_dir 'best'/'latest' pointer FILE resolves to its sibling
+        # step directory — same convention --checkpoint already follows
+        # (apis/test.py _restore_orbax); without this the pointer file was
+        # handed to torch.load as if it were a .pth
+        if os.path.isfile(teacher_init) and not teacher_init.endswith(
+            (".pth", ".pt")
+        ):
+            with open(teacher_init) as f:
+                target = f.read().strip()
+            cand = os.path.join(os.path.dirname(teacher_init), target)
+            if os.path.isdir(cand):
+                teacher_init = cand
         if os.path.isdir(teacher_init):
             # an fgvc orbax checkpoint dir: the trained STUDENT of that run
             # becomes this run's frozen teacher — the reference's staged

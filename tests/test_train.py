@@ -378,6 +378,27 @@ def test_teacher_init_from_checkpoint_dir(tmp_path):
     for a, b in zip(flat_w, flat_g):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # a work_dir 'best'/'latest' POINTER FILE must resolve the same way
+    # --checkpoint pointers do (it used to be fed to torch.load)
+    ptr = prev_dir / "best"
+    ptr.write_text("step_5")
+    _, teacher_via_ptr = train_model(
+        cfg,
+        [batch],
+        str(tmp_path / "work2"),
+        steps_per_epoch=1,
+        max_steps=1,
+        log_interval=100,
+        resume=False,
+        teacher_init=str(ptr),
+    )
+    for a, b in zip(
+        flat_w, jax.tree_util.tree_leaves(
+            jax.device_get(teacher_via_ptr)["params"]
+        )
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     """Graceful preemption: SIGTERM mid-run -> checkpoint at the step
