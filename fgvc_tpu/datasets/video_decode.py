@@ -122,6 +122,65 @@ class SampleFrames:
         return results
 
 
+class UntrimmedSampleFrames:
+    """Fixed-interval clip centers over an untrimmed video
+    (loading.py:261-313).  Required keys: total_frames.  Adds: frame_inds
+    (clipped to range), clip_len, frame_interval, num_clips."""
+
+    def __init__(self, clip_len: int = 1, frame_interval: int = 16):
+        self.clip_len = clip_len
+        self.frame_interval = frame_interval
+
+    def __call__(self, results: Dict) -> Dict:
+        total = results["total_frames"]
+        centers = np.arange(self.frame_interval // 2, total,
+                            self.frame_interval)
+        half = self.clip_len // 2
+        inds = centers[:, None] + np.arange(-half, self.clip_len - half)
+        inds = np.clip(inds, 0, total - 1)
+        results["frame_inds"] = (
+            np.concatenate(inds) + results.get("start_index", 0)
+        ).astype(np.int64)
+        results["clip_len"] = self.clip_len
+        results["frame_interval"] = self.frame_interval
+        results["num_clips"] = len(centers)
+        return results
+
+
+class DenseSampleFrames(SampleFrames):
+    """Dense sampling in a fixed window (loading.py:317-380): train picks
+    one random window start in [0, num_frames - sample_range]; test
+    spreads num_sample_positions starts evenly.  Clip offsets step by
+    sample_range // num_clips from each start, modulo num_frames."""
+
+    def __init__(self, *args, sample_range: int = 64,
+                 num_sample_positions: int = 10, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.sample_range = sample_range
+        self.num_sample_positions = num_sample_positions
+
+    def _get_train_clips(self, num_frames: int) -> np.ndarray:
+        sample_position = max(1, 1 + num_frames - self.sample_range)
+        interval = self.sample_range // self.num_clips
+        start = (
+            0 if sample_position == 1
+            else int(self.rng.integers(0, sample_position - 1))
+        )
+        base = np.arange(self.num_clips) * interval
+        return (base + start) % num_frames
+
+    def _get_test_clips(self, num_frames: int) -> np.ndarray:
+        sample_position = max(1, 1 + num_frames - self.sample_range)
+        interval = self.sample_range // self.num_clips
+        starts = np.linspace(
+            0, sample_position - 1, num=self.num_sample_positions, dtype=int
+        )
+        base = np.arange(self.num_clips) * interval
+        return np.concatenate(
+            [(base + s) % num_frames for s in starts]
+        )
+
+
 class VideoDecode:
     """cv2 video-file decoder (OpenCV/Decord decode equivalents,
     loading.py:900-1070).  Required keys: filename, frame_inds.

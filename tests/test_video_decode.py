@@ -83,3 +83,56 @@ def test_video_decode_mp4(tmp_path):
     assert len(r["imgs"]) == 3
     for img, idx in zip(r["imgs"], r["frame_inds"]):
         assert abs(int(img.mean()) - levels[idx]) < 6  # lossy codec slack
+
+
+def test_untrimmed_sample_frames():
+    """loading.py:261-313: fixed-interval clip centers, edges clipped."""
+    from fgvc_tpu.datasets.video_decode import UntrimmedSampleFrames
+
+    r = UntrimmedSampleFrames(clip_len=3, frame_interval=16)(
+        {"total_frames": 40, "start_index": 0}
+    )
+    inds = r["frame_inds"].reshape(-1, 3)
+    # centers at 8, 24 -> windows [7..9], [23..25]; num_clips = 2
+    assert r["num_clips"] == 2
+    np.testing.assert_array_equal(inds, [[7, 8, 9], [23, 24, 25]])
+    # clip_len=1 degenerates to the centers themselves
+    r1 = UntrimmedSampleFrames(clip_len=1, frame_interval=16)(
+        {"total_frames": 40, "start_index": 2}
+    )
+    np.testing.assert_array_equal(r1["frame_inds"], [10, 26])
+
+
+def test_dense_sample_frames_matches_reference_formula():
+    """loading.py:317-380: test mode = evenly spread window starts with
+    interval sample_range // num_clips; train mode = one random start."""
+    from fgvc_tpu.datasets.video_decode import DenseSampleFrames
+
+    num_frames, sample_range, num_clips, positions = 200, 64, 4, 10
+    s = DenseSampleFrames(
+        clip_len=2, frame_interval=1, num_clips=num_clips,
+        sample_range=sample_range, num_sample_positions=positions,
+        test_mode=True,
+    )
+    r = s({"total_frames": num_frames, "start_index": 0})
+    # the reference's _get_test_clips, computed inline
+    sample_position = max(1, 1 + num_frames - sample_range)
+    interval = sample_range // num_clips
+    starts = np.linspace(0, sample_position - 1, num=positions, dtype=int)
+    base = np.arange(num_clips) * interval
+    want_offsets = np.concatenate([(base + x) % num_frames for x in starts])
+    got = r["frame_inds"].reshape(-1, 2)
+    np.testing.assert_array_equal(got[:, 0], want_offsets)
+    np.testing.assert_array_equal(got[:, 1], want_offsets + 1)
+
+    # train mode: offsets share one window start, spaced by interval
+    st = DenseSampleFrames(
+        clip_len=1, frame_interval=1, num_clips=num_clips,
+        sample_range=sample_range, seed=3,
+    )
+    rt = st({"total_frames": num_frames, "start_index": 0})
+    offs = rt["frame_inds"]
+    assert len(offs) == num_clips
+    d = np.diff(offs % num_frames)
+    assert np.all(d == interval)
+    assert 0 <= offs[0] < sample_position
