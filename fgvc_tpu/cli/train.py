@@ -79,6 +79,11 @@ def main():
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
                         default=None,
                         help="rematerialize backbone activations (bigger batches)")
+    parser.add_argument("--fused-encoder",
+                        action=argparse.BooleanOptionalAction, default=None,
+                        help="one backbone call for the rec+sup pairs "
+                             "(throughput mode; union-batch BN — not "
+                             "recipe-parity, see TrainConfig.fused_encoder)")
     parser.add_argument("--check-numerics",
                         action=argparse.BooleanOptionalAction, default=None,
                         help="raise on the first non-finite loss/gradient "
@@ -148,6 +153,7 @@ def main():
             ("matmul_precision", args.precision),
             ("loss_scale", args.loss_scale),
             ("remat", args.remat),
+            ("fused_encoder", args.fused_encoder),
             ("check_numerics", args.check_numerics),
         )
         if v is not None

@@ -181,6 +181,14 @@ class TrainConfig:
     # ~30% step time for activation memory, enabling larger global batches
     # per chip (jax.checkpoint on the student forward)
     remat: bool = False
+    # Opt-in throughput mode: run the rec and sup pairs through ONE
+    # student backbone call per step (one 4B-frame batch) instead of two
+    # sequential 2B-frame passes.  NOT recipe-parity: BatchNorm statistics
+    # are then computed over the union batch and updated once per step,
+    # where the reference (and the default here) normalizes and updates
+    # per branch sequentially (mixed_tracker.py:375-457 runs two separate
+    # student forwards).  Same objective, different BN trajectory.
+    fused_encoder: bool = False
 
 
 def config_from_file(path: str, base):

@@ -194,29 +194,52 @@ class MixedTrainer:
         # (i) reconstruction on the unlabeled pair (the correlation volume
         # is reused by the adversarial branch, so it is also needed there)
         need_rec = c.loss_weight_l1 > 0 or c.loss_weight_corr_da > 0
+        # (ii) supervised distillation on the synthetic pair (its features
+        # also feed the adversarial source correlation)
+        need_sup_feats = c.loss_weight_sup > 0 or c.loss_weight_corr_da > 0
         corr_target = None
-        if need_rec:
+        if c.fused_encoder and need_rec and need_sup_feats:
+            # opt-in throughput mode: both dropped pairs through ONE
+            # backbone call (one 4B-frame batch instead of two 2B-frame
+            # passes — better MXU utilization at small B).  DIVERGES from
+            # the reference's BN trajectory: batch statistics cover the
+            # union batch and update once, instead of two sequential
+            # per-domain updates (see TrainConfig.fused_encoder).
             dropped, ch = drop_lab_channel(imgs, k_drop1)
-            feats, stats = run_backbone(
-                dropped.reshape(B * 2, *imgs.shape[2:]), stats
+            dropped_sup, _ = drop_lab_channel(imgs_sup, k_drop2)
+            both = jnp.concatenate(
+                [
+                    dropped.reshape(B * 2, *imgs.shape[2:]),
+                    dropped_sup.reshape(B * 2, *imgs_sup.shape[2:]),
+                ],
+                axis=0,
             )
-            feats = feats.reshape(B, 2, *feats.shape[1:])
+            feats_all, stats = run_backbone(both, stats)
+            feats = feats_all[: B * 2].reshape(B, 2, *feats_all.shape[1:])
+            feats_sup = feats_all[B * 2 :].reshape(
+                B, 2, *feats_all.shape[1:]
+            )
+        else:
+            if need_rec:
+                dropped, ch = drop_lab_channel(imgs, k_drop1)
+                feats, stats = run_backbone(
+                    dropped.reshape(B * 2, *imgs.shape[2:]), stats
+                )
+                feats = feats.reshape(B, 2, *feats.shape[1:])
+            if need_sup_feats:
+                dropped_sup, _ = drop_lab_channel(imgs_sup, k_drop2)
+                feats_sup, stats = run_backbone(
+                    dropped_sup.reshape(B * 2, *imgs_sup.shape[2:]), stats
+                )
+                feats_sup = feats_sup.reshape(B, 2, *feats_sup.shape[1:])
+
+        if need_rec:
             l1, corr_target = reconstruction_loss(feats, imgs, ch, c)
             losses["l1_loss"] = (
                 c.loss_weight_l1 * l1 if c.loss_weight_l1 > 0 else zero
             )
         else:
             losses["l1_loss"] = zero
-
-        # (ii) supervised distillation on the synthetic pair (its features
-        # also feed the adversarial source correlation)
-        need_sup_feats = c.loss_weight_sup > 0 or c.loss_weight_corr_da > 0
-        if need_sup_feats:
-            dropped_sup, _ = drop_lab_channel(imgs_sup, k_drop2)
-            feats_sup, stats = run_backbone(
-                dropped_sup.reshape(B * 2, *imgs_sup.shape[2:]), stats
-            )
-            feats_sup = feats_sup.reshape(B, 2, *feats_sup.shape[1:])
         if c.loss_weight_sup > 0:
             teacher_feat = jax.lax.stop_gradient(
                 self.teacher.apply(teacher_vars, imgs_sup[:, 0], train=False)

@@ -461,3 +461,45 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     )
     final = latest_checkpoint(str(tmp_path))
     assert final is not None and final.endswith(f"step_{stop_step + 2}")
+
+
+def test_fused_encoder_mode():
+    """fused_encoder=True batches the rec+sup pairs through one backbone
+    call.  Same objective; BN normalizes over the union batch, so values
+    differ slightly from the sequential default — at a fresh init both
+    modes must produce all three branches, finite and close."""
+    import dataclasses
+
+    import jax
+
+    from fgvc_tpu.config import TrainConfig
+    from fgvc_tpu.core.train import MixedTrainer
+
+    rng = np.random.default_rng(11)
+    batch = {
+        "imgs": rng.standard_normal((4, 2, 16, 16, 3)).astype(np.float32),
+        "imgs_sup": rng.standard_normal((4, 2, 16, 16, 3)).astype(np.float32),
+        "flow": rng.standard_normal((4, 16, 16, 2)).astype(np.float32),
+        "flow_back": rng.standard_normal((4, 16, 16, 2)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for fused in (False, True):
+        cfg = TrainConfig(
+            radius=2, crop_size=16, batch_size=4, fused_encoder=fused
+        )
+        trainer = MixedTrainer(cfg)
+        state, teacher_vars, tx = trainer.init(key, 10)
+        step_fn = trainer.make_train_step(tx)
+        new_state, losses = step_fn(
+            state, teacher_vars, batch, jax.random.PRNGKey(1)
+        )
+        losses = {k: float(v) for k, v in losses.items()}
+        assert all(np.isfinite(v) for v in losses.values()), losses
+        assert losses["l1_loss"] > 0 and losses["sup_loss"] > 0
+        assert int(new_state.step) == 1
+        results[fused] = losses
+    # the union-batch BN shifts values, but not the loss scale
+    for k in ("l1_loss", "sup_loss", "corr_da_loss"):
+        a, b = results[False][k], results[True][k]
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.5, (k, a, b)
