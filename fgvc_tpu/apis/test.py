@@ -568,6 +568,11 @@ def run_task(
             f"--query-mode {query_mode!r} only applies to TAP-Vid point "
             f"tracking (davis/kinetics), not task {task!r}"
         )
+    if annotations and task != "kinetics":
+        raise ValueError(
+            "--annotations (CSV + clips mode) applies to --task kinetics "
+            f"only, not {task!r}"
+        )
     # report artifacts are written once (rank 0) — every rank still scores
     # the merged results, like the reference's rank-0 dataset.evaluate
     if rank != 0:
@@ -611,11 +616,6 @@ def run_task(
     else:
         tracker = build_tracker(
             cfg, checkpoint, spatial_mesh=spatial_mesh, backbone=backbone
-        )
-    if annotations and task != "kinetics":
-        raise ValueError(
-            "--annotations (CSV + clips mode) applies to --task kinetics "
-            f"only, not {task!r}"
         )
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset

@@ -184,10 +184,12 @@ def train_model(
         # a work_dir 'best'/'latest' pointer FILE resolves to its sibling
         # step directory — same convention --checkpoint already follows
         # (apis/test.py _restore_orbax); without this the pointer file was
-        # handed to torch.load as if it were a .pth
-        if os.path.isfile(teacher_init) and not teacher_init.endswith(
-            (".pth", ".pt")
-        ):
+        # handed to torch.load as if it were a .pth.  Only the basenames
+        # train itself writes are treated as pointers, so binary torch
+        # checkpoints under any other name still reach torch.load
+        if os.path.isfile(teacher_init) and os.path.basename(
+            teacher_init
+        ) in ("best", "latest"):
             with open(teacher_init) as f:
                 target = f.read().strip()
             cand = os.path.join(os.path.dirname(teacher_init), target)

@@ -39,6 +39,11 @@ if %PLATFORM%:
         except RuntimeError:
             if _i == len(_names) - 1:
                 raise
+    else:
+        # every candidate initialized but none identified as the requested
+        # platform — mirror force_platform's refusal instead of silently
+        # benchmarking whatever backend is configured
+        raise RuntimeError("no platform candidate matched: %r" % (_names,))
 t0 = time.perf_counter()
 d = jax.devices()
 x = jnp.ones((256, 256))

@@ -104,12 +104,15 @@ class TapVidKineticsVideoDataset(TapVidDataset):
         self.missing_clips = missing
 
     def load_raw(self, idx: int) -> Dict:
-        from fgvc_tpu.datasets.video_decode import VideoDecode, VideoInit
+        from fgvc_tpu.datasets.video_decode import decode_video
 
         _, path, points = self.samples[idx]
-        res = VideoInit()({"filename": path})
-        res["frame_inds"] = np.arange(res["total_frames"])
-        res = VideoDecode()(res)
-        video = np.stack(res["imgs"])
+        # stream-decode with a per-frame resize: peak memory stays
+        # T×input_size, not T×native (Kinetics clips can be 1080p), and T
+        # is the DECODABLE count (container metadata often overreports;
+        # CSV rows past the end drop, as the pickle generator always did)
+        video = decode_video(
+            path, resize=(self.input_size[1], self.input_size[0])
+        )
         pts, occ = assemble_tracks(points, video.shape[0])
         return {"video": video, "points": pts, "occluded": occ}

@@ -149,9 +149,14 @@ class UntrimmedSampleFrames:
 
 class DenseSampleFrames(SampleFrames):
     """Dense sampling in a fixed window (loading.py:317-380): train picks
-    one random window start in [0, num_frames - sample_range]; test
-    spreads num_sample_positions starts evenly.  Clip offsets step by
-    sample_range // num_clips from each start, modulo num_frames."""
+    one random window start, test spreads num_sample_positions starts
+    evenly over [0, num_frames - sample_range].  Clip offsets step by
+    sample_range // num_clips from each start, modulo num_frames.
+
+    REFERENCE QUIRK (reproduced): the train draw uses an EXCLUSIVE high of
+    sample_position - 1 (`np.random.randint(0, sample_position - 1)`,
+    loading.py:360), so the last valid window start is never sampled —
+    e.g. num_frames=66, sample_range=64 always starts at 0."""
 
     def __init__(self, *args, sample_range: int = 64,
                  num_sample_positions: int = 10, **kwargs):
@@ -185,7 +190,17 @@ class VideoDecode:
     """cv2 video-file decoder (OpenCV/Decord decode equivalents,
     loading.py:900-1070).  Required keys: filename, frame_inds.
     Adds: imgs (list of HWC RGB uint8), original_shape, img_shape.
+
+    Container metadata routinely overreports frame counts (VFR mp4s,
+    duration×fps rounding), so indices past the decodable range follow
+    `out_of_range`: 'repeat_last' substitutes the last decoded frame (the
+    reference OpenCVDecode's `while frame is None: frame_ind -= 1` walk,
+    loading.py:1147-1152) or 'error' raises.
     """
+
+    def __init__(self, out_of_range: str = "repeat_last"):
+        assert out_of_range in ("repeat_last", "error")
+        self.out_of_range = out_of_range
 
     def __call__(self, results: Dict) -> Dict:
         import cv2
@@ -201,10 +216,13 @@ class VideoDecode:
         need = set(int(i) for i in inds)
         last = max(need)
         pos = 0
+        last_decoded = None
         ok, frame = cap.read()
         while ok and pos <= last:
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            last_decoded = rgb
             if pos in need:
-                frames[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frames[pos] = rgb
             pos += 1
             if pos <= last:
                 ok, frame = cap.read()
@@ -213,14 +231,43 @@ class VideoDecode:
         cap.release()
         missing = need - frames.keys()
         if missing:
-            raise IOError(
-                f"failed to decode frames {sorted(missing)} of "
-                f"{results['filename']}"
-            )
+            if self.out_of_range == "error" or last_decoded is None:
+                raise IOError(
+                    f"failed to decode frames {sorted(missing)} of "
+                    f"{results['filename']}"
+                )
+            for i in missing:
+                frames[i] = last_decoded
         results["imgs"] = [frames[int(i)] for i in inds]
         results["original_shape"] = results["imgs"][0].shape[:2]
         results["img_shape"] = results["imgs"][0].shape[:2]
         return results
+
+
+def decode_video(path: str, resize=None) -> np.ndarray:
+    """Decode EVERY decodable frame of a video file -> (T, H, W, 3) uint8
+    RGB, streaming (one native frame in flight; `resize=(w, h)` applies
+    per frame as decoded, bounding peak memory by T×resized instead of
+    T×native).  The decodable count is authoritative — no reliance on the
+    container's (often overreported) frame-count metadata."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video {path}")
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if resize is not None:
+            rgb = cv2.resize(rgb, resize, interpolation=cv2.INTER_LINEAR)
+        frames.append(rgb)
+    cap.release()
+    if not frames:
+        raise IOError(f"no decodable frames in {path}")
+    return np.stack(frames)
 
 
 class VideoInit:

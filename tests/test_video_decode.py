@@ -136,3 +136,40 @@ def test_dense_sample_frames_matches_reference_formula():
     d = np.diff(offs % num_frames)
     assert np.all(d == interval)
     assert 0 <= offs[0] < sample_position
+
+
+def test_video_decode_overreported_frame_count(tmp_path):
+    """Container metadata often overreports frame counts; indices past
+    the decodable range repeat the last frame (reference OpenCVDecode's
+    None-walk, loading.py:1147-1152) unless out_of_range='error'."""
+    import cv2
+    import pytest
+
+    from fgvc_tpu.datasets.video_decode import VideoDecode, decode_video
+
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    if not w.isOpened():
+        pytest.skip("no mp4 encoder in this cv2 build")
+    frames = [
+        rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    for f in frames:
+        w.write(f)
+    w.release()
+
+    # ask for two frames past the end
+    r = VideoDecode()({"filename": path, "frame_inds": np.arange(5)})
+    assert len(r["imgs"]) == 5
+    np.testing.assert_array_equal(r["imgs"][3], r["imgs"][2])
+    np.testing.assert_array_equal(r["imgs"][4], r["imgs"][2])
+
+    with pytest.raises(IOError):
+        VideoDecode(out_of_range="error")(
+            {"filename": path, "frame_inds": np.arange(5)}
+        )
+
+    # decode_video: decodable count is authoritative, streaming resize
+    v = decode_video(path, resize=(16, 12))
+    assert v.shape == (3, 12, 16, 3)

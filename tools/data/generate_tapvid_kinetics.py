@@ -45,33 +45,24 @@ def main():
 
     import pickle
 
-    import cv2
+    from fgvc_tpu.datasets.tapvid_kinetics import assemble_tracks, find_clip
+    from fgvc_tpu.datasets.video_decode import decode_video
 
     os.makedirs(args.out, exist_ok=True)
-    from fgvc_tpu.datasets.tapvid_kinetics import find_clip
-
     annos = read_annotations(args.csv)
     n_ok = 0
     for vid, points in annos.items():
         path = find_clip(args.video_root, vid)
         if path is None:
             continue
-        # decode through the pipeline stages (datasets/video_decode.py —
-        # the loading.py equivalents) rather than an ad-hoc cv2 loop
-        from fgvc_tpu.datasets.video_decode import VideoDecode, VideoInit
-
-        res = VideoInit()({"filename": path})
-        if res["total_frames"] == 0:
+        # stream-decode + per-frame resize through the pipeline module
+        # (datasets/video_decode.py): peak memory is one native frame +
+        # the resized output, and the frame count is the decodable count
+        try:
+            video = decode_video(path, resize=(args.size, args.size))
+        except IOError:
             continue
-        res["frame_inds"] = np.arange(res["total_frames"])
-        res = VideoDecode()(res)
-        frames = [
-            cv2.resize(img, (args.size, args.size)) for img in res["imgs"]
-        ]
-        video = np.stack(frames)
-        from fgvc_tpu.datasets.tapvid_kinetics import assemble_tracks
-
-        pts, occ = assemble_tracks(points, len(frames))  # [0,1] coords
+        pts, occ = assemble_tracks(points, video.shape[0])  # [0,1] coords
         with open(os.path.join(args.out, f"{vid}.pkl"), "wb") as f:
             pickle.dump({"video": video, "points": pts, "occluded": occ}, f)
         n_ok += 1
