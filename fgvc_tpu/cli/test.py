@@ -72,7 +72,7 @@ def main():
     parser.add_argument(
         "--attention-impl",
         default=None,
-        choices=["pallas", "tiled", "dense", "c2f"],
+        choices=["pallas", "tiled", "dense", "c2f", "flow_guided"],
     )
     parser.add_argument(
         "--topk-impl",

@@ -99,6 +99,18 @@ class TestConfig:
     radius_fine: int = 12
     # c2f query-pixel chunk (memory dial of the fine-stage gather)
     c2f_step: int = 256
+    # Flow-guided propagation (attention_impl='flow_guided'): each key
+    # frame contributes a (2·flow_radius+1)² candidate window centered at a
+    # flow-predicted position instead of the radius-masked neighborhood
+    # (reference flow_guided_attention_efficient, local_attention.py:512-718
+    # — no in-tree consumer there; this wiring is ours).  Adjacent-frame
+    # flows come from the feature bank's own local-correlation expected
+    # displacement (top-k softmax over the neighbor_range window) and are
+    # chained to the window frames (ops/warp.py chain_window_flows — the
+    # step the reference's empty tools/data/ytv/chain_flow.py names).
+    flow_radius: int = 6
+    # flow-guided query-pixel chunk (memory dial of the window gather)
+    flow_step: int = 1024
     # Visibility prediction for point tracking (track_points):
     # 'none' = constant-zero visibilities — reference parity (the reference's
     # VanillaTracker.forward_test returns no occlusion estimate, so its AJ/OA

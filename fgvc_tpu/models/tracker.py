@@ -39,6 +39,7 @@ from fgvc_tpu.ops.color import (
     preprocess_yuv420_to_lab_normalized,
 )
 from fgvc_tpu.ops.grids import draw_gaussian_maps, soft_argmax_topk
+from fgvc_tpu.ops.warp import chain_window_flows
 from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
 
 
@@ -201,6 +202,15 @@ class Tracker:
         radius = cfg.neighbor_range // 2
         non_mask_len = 0 if cfg.with_first_neighbor else 1
         do_norm = cfg.with_norm and not pre_normalized
+        if cfg.attention_impl == "flow_guided":
+            # flow_guided lives in the bank propagation scan (it needs the
+            # chained window flows, _scan_propagate); the streaming save_mem
+            # path has no flow chain to draw on.
+            raise ValueError(
+                "attention_impl='flow_guided' needs with_first_neighbor="
+                "True and runs in the bank propagation scan (track_points/"
+                "track_heatmaps/track_masks without save_mem)"
+            )
         if cfg.attention_impl == "c2f" and non_mask_len == 0:
             # coarse-to-fine two-stage inference (reference
             # masked_attention_efficient_c2f, local_attention.py:721-880 —
@@ -490,9 +500,44 @@ class Tracker:
             )
             return new_buf, emit(seg_logit)
 
+        def step_flow(value_buf, xs):
+            # flow-guided propagation: candidates are flow-centered windows
+            # (reference flow_guided_attention_efficient,
+            # local_attention.py:512-718); flows are chained from the bank's
+            # own adjacent-frame local-correlation expectation.
+            from fgvc_tpu.ops.c2f import flow_guided_topk_attention
+
+            t, wflow = xs
+            idx, key_valid = window_indices(t)
+            values = jnp.concatenate([first_value[None], value_buf], axis=0)
+            seg_logit = flow_guided_topk_attention(
+                feats[t],
+                feats[idx],
+                values,
+                wflow,
+                radius=cfg.flow_radius,
+                temperature=cfg.temperature,
+                topk=cfg.topk,
+                normalize=False,  # feats normalized once above
+                key_valid=key_valid,
+                step=cfg.flow_step,
+            )
+            new_buf = jnp.concatenate(
+                [value_buf[1:], bank_entry(seg_logit)[None]], axis=0
+            )
+            return new_buf, emit(seg_logit)
+
         # Slots holding pre-video indices are masked via key_valid, so the
         # initial buffer content is never read.
         init_buf = jnp.tile(first_value[None], (cfg.precede_frames, 1, 1, 1))
+        if cfg.attention_impl == "flow_guided" and non_mask_len == 0:
+            wflows = chain_window_flows(
+                self._adjacent_feature_flows(feats), cfg.precede_frames
+            )
+            _, outs = jax.lax.scan(
+                step_flow, init_buf, (jnp.arange(1, T), wflows)
+            )
+            return outs
         if pallas_bank:
             step = step_pallas
         elif bank_mode:
@@ -501,6 +546,38 @@ class Tracker:
             step = step_legacy
         _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
         return outs
+
+    def _adjacent_feature_flows(self, featsn: jax.Array) -> jax.Array:
+        """Adjacent backward flows (T-1, h, w, 2) from the feature bank
+        itself: for every frame-(t+1) pixel, the top-k-softmax EXPECTED
+        displacement of its neighbor_range local correlation against frame t
+        — the same coordinate-expectation machinery as the forward-warp
+        tracker (_forward_coords_impl), used here as the flow predictor of
+        the flow-guided mode (the reference leaves the predictor external —
+        its flow_guided_attention_efficient takes flows as inputs,
+        local_attention.py:512-718).  `featsn` is expected pre-normalized
+        when with_norm is on."""
+        from fgvc_tpu.ops.local_corr import local_correlation
+
+        cfg = self.cfg
+        r = cfg.neighbor_range // 2
+        win = 2 * r + 1
+        h, w = featsn.shape[1:3]
+
+        def one(carry, pair):
+            cur, prev = pair
+            corr = local_correlation(cur, prev, r).reshape(h, w, win * win)
+            wts, idx = jax.lax.top_k(corr, cfg.topk)
+            wts = jax.nn.softmax(wts / cfg.temperature, axis=-1)
+            di = (idx // win).astype(jnp.float32) - r
+            dj = (idx % win).astype(jnp.float32) - r
+            flow = jnp.stack(
+                [jnp.sum(wts * dj, -1), jnp.sum(wts * di, -1)], axis=-1
+            )
+            return carry, flow
+
+        _, flows = jax.lax.scan(one, None, (featsn[1:], featsn[:-1]))
+        return flows
 
     def _scan_propagate_sp(self, feats, first_value, mask_shape, emit):
         """Spatial-parallel propagation over `self.spatial_mesh`.

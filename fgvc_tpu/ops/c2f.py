@@ -238,3 +238,123 @@ def flow_guided_attention(
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(Hq, Wq, Cv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "temperature", "topk", "normalize", "step"),
+)
+def flow_guided_topk_attention(
+    query: jax.Array,   # (h, w, C) query-frame features
+    keys: jax.Array,    # (T, h, w, C) key-frame features
+    values: jax.Array,  # (T, h, w, Cv) label maps on the key frames
+    flows: jax.Array,   # (T, h, w, 2) query->key flow (x, y), feature pixels
+    *,
+    radius: int = 6,
+    temperature: float = 0.07,
+    topk: int = 10,
+    normalize: bool = True,
+    key_valid: Optional[jax.Array] = None,  # (T,) bool
+    step: int = 1024,
+) -> jax.Array:
+    """Flow-predicted-center local attention, EFFICIENT form.
+
+    The consumer-ready counterpart of `flow_guided_attention` (reference
+    flow_guided_attention_efficient_v2, local_attention.py:512-718): instead
+    of taking a dense (T, Hq, Wq, H, W) correlation volume — which at DAVIS
+    feature shapes would be ~6 GB/frame — the affinity is formed directly as
+    <query_feature, bilinear-sampled key features at the (2r+1)² window
+    around (pixel + flow)>.  Because correlation is linear in the key
+    features, bilinearly interpolating the correlation map (what the dense op
+    and the reference do) equals correlating against bilinearly interpolated
+    key features, so the two forms agree to float tolerance
+    (tests/test_flow_guided.py).
+
+    Semantics kept from the dense op / reference: values are NEAREST-sampled
+    and zeroed outside the image; out-of-bounds affinity candidates enter
+    top-k at 0 (the zero-padding quirk), not -inf.  DIVERGENCE: `temperature`
+    is APPLIED here (the reference's parameter is dead because its caller
+    pre-divides the corr volume — mixed_tracker.py:450); this op is the
+    framework's own propagation wiring, so the division happens in-op like
+    every other attention path.
+
+    Returns (h, w, Cv).
+    """
+    from fgvc_tpu.ops.local_corr import part_unfold
+
+    T, h, w, C = keys.shape
+    Cv = values.shape[-1]
+    Q = h * w
+    r = radius
+    P2 = (2 * r + 1) ** 2
+
+    if normalize:
+        query = l2_normalize(query)
+        keys = l2_normalize(keys)
+
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    base = jnp.stack([gx, gy], axis=-1).reshape(Q, 2)
+    centers = base[None] + flows.reshape(T, Q, 2)  # (T, Q, 2)
+
+    qf = query.reshape(Q, C)
+    valid = (
+        jnp.ones((T,), bool) if key_valid is None else key_valid.astype(bool)
+    )
+
+    s = min(step, Q)
+    n = -(-Q // s)
+    pad = n * s - Q
+    qf_c = jnp.pad(qf, ((0, pad), (0, 0))).reshape(n, s, C)
+    ctr_c = jnp.pad(centers, ((0, 0), (0, pad), (0, 0))).reshape(
+        T, n, s, 2
+    ).transpose(1, 0, 2, 3)  # (n, T, s, 2)
+
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    oy = jnp.repeat(offs, 2 * r + 1)
+    ox = jnp.tile(offs, 2 * r + 1)
+    owin = jnp.stack([ox, oy], axis=-1)  # (P2, 2)
+
+    def chunk_out(args):
+        qc, cc = args  # (s, C), (T, s, 2)
+
+        def per_frame(carry, tkv):
+            kf, vf, ctr = tkv  # (h, w, C), (h, w, Cv), (s, 2)
+            kp = part_unfold(kf, ctr, r).reshape(s, P2, C)
+            aff = jnp.einsum(
+                "sc,spc->sp",
+                qc,
+                kp,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) / temperature
+            pts = ctr[:, None, :] + owin[None]  # (s, P2, 2)
+            # nearest value sampling (reference uses mode='nearest'):
+            x = jnp.clip(jnp.round(pts[..., 0]), 0, w - 1).astype(jnp.int32)
+            y = jnp.clip(jnp.round(pts[..., 1]), 0, h - 1).astype(jnp.int32)
+            inside = (
+                (pts[..., 0] >= 0) & (pts[..., 0] <= w - 1)
+                & (pts[..., 1] >= 0) & (pts[..., 1] <= h - 1)
+            )
+            vals = vf[y, x] * inside[..., None]  # (s, P2, Cv)
+            return carry, (aff, vals)
+
+        _, (aff, vals) = jax.lax.scan(
+            per_frame, None, (keys, values, cc)
+        )
+        aff = jnp.where(valid[:, None, None], aff, -jnp.inf)
+        aff = jnp.transpose(aff, (1, 0, 2)).reshape(s, T * P2)
+        wts, idx = jax.lax.top_k(aff, topk)
+        wts = jax.nn.softmax(wts, axis=-1)
+        v_flat = jnp.transpose(vals, (1, 0, 2, 3)).reshape(s, T * P2, Cv)
+        picked = jnp.take_along_axis(v_flat, idx[..., None], axis=1)
+        return jnp.einsum(
+            "qk,qkc->qc",
+            wts,
+            picked,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out = jax.lax.map(chunk_out, (qf_c, ctr_c)).reshape(n * s, Cv)[:Q]
+    return out.reshape(h, w, Cv)

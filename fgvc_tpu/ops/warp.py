@@ -157,3 +157,57 @@ def occlusion_masks(
     else:
         raise ValueError(f"unknown occlusion mode {mode}")
     return {"occ_fw": fw, "occ_bw": bw}
+
+
+def compose_flows(f_ab: jax.Array, g_bc: jax.Array) -> jax.Array:
+    """Compose two backward flows: (f_ab ∘ g_bc)(x) = f_ab(x) + g_bc(x + f_ab(x)).
+
+    `f_ab` maps frame-a pixels into frame b, `g_bc` maps frame-b pixels into
+    frame c; the result maps frame-a pixels into frame c.  Both are (h, w, 2)
+    (x, y) pixel-unit flows; `g_bc` is bilinearly sampled at the f_ab targets
+    (zeros outside — off-frame chains degrade toward the f_ab endpoint).
+    """
+    h, w = f_ab.shape[:2]
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    tgt = jnp.stack([gx + f_ab[..., 0], gy + f_ab[..., 1]], axis=-1)
+    return f_ab + bilinear_sample(g_bc, tgt)
+
+
+def chain_window_flows(adj: jax.Array, precede_frames: int) -> jax.Array:
+    """Chain adjacent-frame flows into the tracker's key-window flows.
+
+    The flow-guided propagation mode (reference
+    flow_guided_attention_efficient, local_attention.py:512-718 — no in-tree
+    caller there; the reference's empty tools/data/ytv/chain_flow.py names
+    this exact chaining step) needs, for every query frame t, a flow to each
+    key-window frame {0, t-K, …, t-1}.  Given adjacent backward flows
+    ``adj`` of shape (T-1, h, w, 2) with ``adj[i]`` = flow frame i+1 → i,
+    this scans the compositions
+
+        W_t[1] = adj[t-1],   W_t[k] = adj[t-1] ∘ W_{t-1}[k-1],
+        C_t    = adj[t-1] ∘ C_{t-1}          (C_0 = 0, the flow 0 → 0)
+
+    and returns (T-1, K+1, h, w, 2): row t-1 holds the flows for query frame
+    t ordered [→frame 0, →t-K, …, →t-1] — exactly the tracker's
+    `_window_indices` slot order.  Slots whose window index is pre-video are
+    meaningless here and masked by `key_valid` downstream.
+    """
+    K = precede_frames
+    h, w = adj.shape[1:3]
+
+    def step(carry, f):
+        warr, c0 = carry  # warr[j] = flow t-1 -> (t-1)-(j+1); c0 = t-1 -> 0
+        new_warr = jnp.concatenate(
+            [f[None], jax.vmap(lambda g: compose_flows(f, g))(warr[:-1])]
+        )
+        new_c0 = compose_flows(f, c0)
+        out = jnp.concatenate([new_c0[None], new_warr[::-1]])
+        return (new_warr, new_c0), out
+
+    init = (
+        jnp.zeros((K, h, w, 2), jnp.float32),
+        jnp.zeros((h, w, 2), jnp.float32),
+    )
+    _, wflows = jax.lax.scan(step, init, adj)
+    return wflows
