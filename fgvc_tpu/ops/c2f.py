@@ -260,7 +260,10 @@ def flow_guided_topk_attention(
     """Flow-predicted-center local attention, EFFICIENT form.
 
     The consumer-ready counterpart of `flow_guided_attention` (reference
-    flow_guided_attention_efficient_v2, local_attention.py:512-718): instead
+    flow_guided_attention_efficient, local_attention.py:512-614 — the v1
+    value semantics; the reference's _v2 at :617-718 bilinear-samples values
+    (local_attention.py:689) where v1, the dense in-repo op, and this op all
+    NEAREST-sample): instead
     of taking a dense (T, Hq, Wq, H, W) correlation volume — which at DAVIS
     feature shapes would be ~6 GB/frame — the affinity is formed directly as
     <query_feature, bilinear-sampled key features at the (2r+1)² window

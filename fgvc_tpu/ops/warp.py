@@ -194,6 +194,13 @@ def chain_window_flows(adj: jax.Array, precede_frames: int) -> jax.Array:
     meaningless here and masked by `key_valid` downstream.
     """
     K = precede_frames
+    if K < 1:
+        # K=0 would give the scan a (1,...) carry vs a (0,...) init (an
+        # opaque lax.scan structure error); the flow-guided window always
+        # includes at least the previous frame.
+        raise ValueError(
+            f"chain_window_flows needs precede_frames >= 1, got {K}"
+        )
     h, w = adj.shape[1:3]
 
     def step(carry, f):

@@ -243,3 +243,17 @@ def test_tracker_flow_guided_track_points_smoke():
     # static video: the track must stay within a couple of pixels
     d = np.abs(traj[1:, 0] - traj[0, 0]).max()
     assert d < 3.0, d
+
+
+def test_chain_window_flows_rejects_zero_window():
+    """precede_frames=0 is a config error (the flow window always holds at
+    least the previous frame); it must raise a clear ValueError instead of
+    an opaque lax.scan carry-structure mismatch."""
+    import jax.numpy as jnp
+    import pytest
+
+    from fgvc_tpu.ops.warp import chain_window_flows
+
+    adj = jnp.zeros((3, 4, 4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="precede_frames"):
+        chain_window_flows(adj, 0)
