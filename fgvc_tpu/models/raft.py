@@ -145,6 +145,43 @@ def lookup_corr(pyramid, coords: jax.Array, radius: int = 4) -> jax.Array:
     return jnp.concatenate(outs, axis=-1)
 
 
+def lookup_heat(
+    heats: jax.Array, coords: jax.Array, radius: int = 4, interval: int = 1
+) -> jax.Array:
+    """Sample per-point heatmap windows — the HeatLookup operator
+    (reference corr_lookup.py:211-271), used by the heat-decoder ablation
+    configs.
+
+    heats: (T, P, H, W) per-frame per-point heatmaps; coords: (T, P, 2)
+    (x, y) pixel centers.  Returns (T, P, n²) with n = 2*(radius//interval)+1
+    window samples (bilinear, align_corners=True normalization ∘ grid_sample
+    = plain pixel-coord bilinear with zero padding — ops/warp.bilinear_sample).
+
+    Reference quirks kept / documented:
+      * delta = stack(meshgrid(dy, dx)) is ADDED to the (x, y) centroid
+        (corr_lookup.py:259-263), so the x offset varies along the SLOW
+        window axis — same transposed-window quirk as `lookup_corr`.
+      * For interval > 1 the reference is non-executable: it builds
+        2*(r//interval)+1 linspace points but views the window as
+        (2r+1, 2r+1) (corr_lookup.py:264) — a shape error.  Here the view
+        uses the actual window size, so interval > 1 subsamples the window
+        as the linspace intends.
+    """
+    T, P, H, W = heats.shape
+    n = 2 * (radius // interval) + 1
+    d = jnp.linspace(-float(radius), float(radius), n)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    offsets = jnp.stack([dy, dx], axis=-1).reshape(-1, 2)  # added to (x, y)
+    maps = heats.reshape(T * P, H, W)
+    pts = coords.reshape(T * P, 1, 2) + offsets[None]
+
+    def sample_one(m, p):
+        return bilinear_sample(m[..., None], p)[..., 0]
+
+    vals = jax.vmap(sample_one)(maps, pts)
+    return vals.reshape(T, P, n * n)
+
+
 class MotionEncoder(nn.Module):
     @nn.compact
     def __call__(self, flow, corr_feat):
