@@ -92,6 +92,7 @@ def _make_kernel(
     square: bool,
     dtype,
     mode: str = "float32",
+    debug_passes: str = "abc",
 ):
     win = tile + 2 * halo
     wpad = _round_up(win, 8)   # HBM slice widths must align to sublane tiling
@@ -100,8 +101,8 @@ def _make_kernel(
     FK = rows_pad * wpad       # keys per frame block (incl. masked pad)
     K = T * FK
 
-    def kernel(row0_ref, idx_ref, fb_ref, q_ref, k_hbm, v_hbm, out_ref,
-               aff_ref, k_buf, v_buf, sem):
+    def kernel(row0_ref, idx_ref, fb_ref, rbias_ref, q_ref, k_hbm, v_hbm,
+               out_ref, aff_ref, k_buf, v_buf, sem):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         # row0: global row origin of this query block (0 unless the caller
@@ -118,26 +119,19 @@ def _make_kernel(
             q_hi = q.astype(jnp.bfloat16)
             q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        # tile-local query coordinates (S, 1) — iota must be integer on TPU
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        qi = (s_iota // tile).astype(jnp.float32)
-        qj = (s_iota % tile).astype(jnp.float32)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (S, FK), 1)
-
-        # frame-invariant mask bias over one frame block (S, FK)
-        wi = (col_iota // wpad).astype(jnp.float32)
-        wj = (col_iota % wpad).astype(jnp.float32)
-        dy = wi - halo - qi
-        dx = wj - halo - qj
-        if square:
-            in_range = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
-        else:
-            in_range = dy * dy + dx * dx < radius * radius
-        kgi = r0 + wi - halo
-        kgj = c0 + wj - halo
+        # mask bias over one frame block (S, FK): the tile-INVARIANT
+        # radius/window part arrives precomputed (rbias_ref — constant
+        # index_map, so it is DMA'd once and stays VMEM-resident across
+        # grid steps instead of ~26 VPU ops × (S, FK) per tile); only the
+        # image-border clip depends on the tile origin, and it is
+        # query-row-invariant — a (1, FK) strip broadcast over S
+        col_1 = jax.lax.broadcasted_iota(jnp.int32, (1, FK), 1)
+        wi1 = (col_1 // wpad).astype(jnp.float32)
+        wj1 = (col_1 % wpad).astype(jnp.float32)
+        kgi = r0 + wi1 - halo
+        kgj = c0 + wj1 - halo
         in_img = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
-        ok = in_range & in_img & (wi < win) & (wj < win)
-        bias = jnp.where(ok, 0.0, NEG)
+        bias = rbias_ref[:] + jnp.where(in_img, 0.0, NEG)
 
         def k_dma(slot, t):
             return pltpu.make_async_copy(
@@ -203,6 +197,12 @@ def _make_kernel(
 
         jax.lax.fori_loop(0, T, pa_frame, 0)
 
+        if debug_passes == "a":
+            # profiling mode (tools/bench/pass_breakdown.py): pass A only —
+            # emit a cheap slice of the resident affinity so nothing is DCE'd
+            out_ref[:] = aff_ref[:, :Pp].reshape(tile, tile, Pp)
+            return
+
         # ---------- pass B: distinct-value top-k stats on the VPU ---------- #
         # Round r finds the largest affinity STRICTLY below round r-1's
         # value — a read-only descending scan of the resident affinity
@@ -224,14 +224,20 @@ def _make_kernel(
         prev = jnp.full((S, 1), jnp.float32(1e30))
         for r in range(topk + 1):
             a = aff_ref[:]
+            # ONE comparison serves both reductions: count(a >= prev) is the
+            # complement of count(a < prev), and the next distinct value is
+            # the max over exactly the a < prev elements — the masked pad
+            # lanes (NEG) are always < prev, so they land in the complement
+            # count and never in the max
+            lt = a < prev
             if r > 0:
-                cge = jnp.sum(
-                    (a >= prev).astype(jnp.float32), axis=-1, keepdims=True
+                cge = jnp.float32(a.shape[-1]) - jnp.sum(
+                    lt.astype(jnp.float32), axis=-1, keepdims=True
                 )
                 cges = jnp.where(lane == r - 1, cge, cges)
             if r < topk:
                 m = jnp.max(
-                    jnp.where(a < prev, a, NEG), axis=-1, keepdims=True
+                    jnp.where(lt, a, NEG), axis=-1, keepdims=True
                 )
                 vals = jnp.where(lane == r, m, vals)
                 prev = m
@@ -286,6 +292,17 @@ def _make_kernel(
         ) * jnp.clip(jnp.sign(thresh - NEG / 2), 0.0, 1.0)
         z = jnp.maximum(z, 1e-30)
 
+        if debug_passes == "ab":
+            # profiling mode: passes A+B — emit the pass-B statistics so the
+            # whole selection chain is live, skip the value pass
+            stats = jnp.concatenate(
+                [thresh, mmax, z, frac, n_above, cnt_at], axis=-1
+            )
+            out_ref[:] = jnp.pad(
+                stats, ((0, 0), (0, Pp - 6))
+            ).reshape(tile, tile, Pp)
+            return
+
         # ---------- pass C: value accumulation from resident affinity ------ #
         v_dma(0, 0).start()
 
@@ -317,6 +334,32 @@ def _make_kernel(
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
                 )
+            elif mode == "high":
+                # same bf16x3 contract as the mode's affinity matmuls
+                # (drop only the lo·lo term, ~2^-16 relative): 3 native
+                # bf16 passes instead of the 6-pass HIGHEST lowering —
+                # measured ~0.9 ms/frame off pass C at DAVIS shapes
+                vf = v_buf[slot].reshape(FK, Pp)
+                w_hi = w.astype(jnp.bfloat16)
+                w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                v_hi = vf.astype(jnp.bfloat16)
+                v_lo = (vf - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def dot_hv(x, y):
+                    return jax.lax.dot_general(
+                        x,
+                        y,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                acc = (
+                    acc
+                    + dot_hv(w_hi, v_hi)
+                    + dot_hv(w_hi, v_lo)
+                    + dot_hv(w_lo, v_hi)
+                )
             else:
                 acc = acc + jax.lax.dot_general(
                     w,
@@ -346,6 +389,7 @@ def _make_kernel(
         "mask_shape",
         "compute_dtype",
         "interpret",
+        "debug_passes",
     ),
 )
 def fused_topk_attention(
@@ -363,6 +407,7 @@ def fused_topk_attention(
     frame_idx: Optional[jax.Array] = None,  # (T,) int32 into the key bank
     compute_dtype: str = "float32",
     interpret: bool = False,
+    debug_passes: str = "abc",  # 'a'/'ab': profiling cut-downs (roofline)
 ) -> jax.Array:
     """Pallas-fused masked_topk_attention_tiled (softmax mode).
 
@@ -419,7 +464,7 @@ def fused_topk_attention(
         H=H, W=W, T=T, Cv=Cv,
         radius=float(radius), temperature=temperature, topk=topk,
         tile=tile, mask_shape=mask_shape, dtype=dtype, mode=compute_dtype,
-        interpret=interpret,
+        interpret=interpret, debug_passes=debug_passes,
     )
 
 
@@ -525,6 +570,7 @@ def _call_fused_kernel(
     qpad, kpad, vpad, *, frame_idx, key_valid, H, W, T, Cv,
     radius, temperature, topk, tile, mask_shape, dtype, interpret,
     mode: str = "float32", row0: Optional[jax.Array] = None,
+    debug_passes: str = "abc",
 ):
     if mode == "high" and qpad.dtype != jnp.float32:
         # bf16 operands would make the lo terms exactly zero — the caller
@@ -570,6 +616,7 @@ def _call_fused_kernel(
         square=(mask_shape == "square"),
         dtype=dtype,
         mode=mode,
+        debug_passes=debug_passes,
     )
 
     row0_smem = (
@@ -579,6 +626,22 @@ def _call_fused_kernel(
     )
 
     S = tile * tile
+    # tile-invariant radius/window-pad bias (S, FK), computed ONCE by XLA
+    # (jit hoists it out of the propagation scan) and kept VMEM-resident in
+    # the kernel via a constant index_map
+    qi = (jnp.arange(S, dtype=jnp.int32)[:, None] // tile).astype(jnp.float32)
+    qj = (jnp.arange(S, dtype=jnp.int32)[:, None] % tile).astype(jnp.float32)
+    col = jnp.arange(FK, dtype=jnp.int32)[None, :]
+    wi = (col // wpad).astype(jnp.float32)
+    wj = (col % wpad).astype(jnp.float32)
+    dy = wi - halo - qi
+    dx = wj - halo - qj
+    if mask_shape == "square":
+        in_range = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
+    else:
+        in_range = dy * dy + dx * dx < radius * radius
+    ok = in_range & (wi < win) & (wj < win)
+    rbias = jnp.where(ok, 0.0, NEG).astype(jnp.float32)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nth * tile, Wp, Pp), jnp.float32),
@@ -587,6 +650,9 @@ def _call_fused_kernel(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (S, FK), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (tile, tile, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
@@ -606,7 +672,7 @@ def _call_fused_kernel(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(row0_smem, idx_smem, fb_smem, qpad, kpad, vpad)
+    )(row0_smem, idx_smem, fb_smem, rbias, qpad, kpad, vpad)
 
     # spatial-parallel row blocks return every block row (the caller
     # gathers blocks across shards, then slices to the full grid height)
