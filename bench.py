@@ -157,26 +157,30 @@ def main():
     jax.block_until_ready(jnp.zeros(()))
 
     # END-TO-END = the eval harness's pipelined video loop (apis/test.py
-    # eval_tapvid): video i+1's upload + feature extraction dispatch while
-    # video i propagates — this is the throughput `tools/test.py` delivers
-    # on a dataset.  Measured over 4 videos, median of 5 sweeps.
-    def pipelined_sweep():
+    # eval_tapvid), SCAN-FIRST dispatch order: video i's propagation is
+    # enqueued BEFORE video i+1's upload + features, so the transfer
+    # streams behind the scan on the in-order device queue (measured +18
+    # fps in the f32 mode — tools/bench/upload_overlap.py).  This is the
+    # throughput `tools/test.py` delivers on a dataset.  Measured over 4
+    # videos, median of 5 sweeps.
+    def pipelined_sweep(tr):
         t0 = time.perf_counter()
-        nxt = tracker._features_padded(videos[0])
+        nxt = tr._features_padded(videos[0])
         for i, v in enumerate(videos):
             feats = nxt
+            dp = tr.track_points_dispatch(v, query_points, feats=feats)
             nxt = (
-                tracker._features_padded(videos[i + 1])
+                tr._features_padded(videos[i + 1])
                 if i + 1 < len(videos)
                 else None
             )
-            out = tracker.track_points(v, query_points, feats=feats)
+            out = tr.track_points_collect(dp)
         return out, len(videos) * (T - 1) / (time.perf_counter() - t0)
 
-    out, _ = pipelined_sweep()  # warm the prefetch path
+    out, _ = pipelined_sweep(tracker)  # warm the prefetch path
     runs = []
     for _ in range(5):
-        out, f = pipelined_sweep()
+        out, f = pipelined_sweep(tracker)
         runs.append(f)
     fps = float(np.median(runs))
 
@@ -203,21 +207,10 @@ def main():
     mb = videos[0].nbytes / 1e6
 
     # f32-exact parity mode, pipelined (same loop as the headline)
-    def pipelined_exact():
-        t0 = time.perf_counter()
-        nxt = tracker_exact._features_padded(videos[0])
-        for i, v in enumerate(videos):
-            feats = nxt
-            nxt = (
-                tracker_exact._features_padded(videos[i + 1])
-                if i + 1 < len(videos)
-                else None
-            )
-            tracker_exact.track_points(v, query_points, feats=feats)
-        return len(videos) * (T - 1) / (time.perf_counter() - t0)
-
-    pipelined_exact()  # warm
-    exact_fps = float(np.median([pipelined_exact() for _ in range(3)]))
+    pipelined_sweep(tracker_exact)  # warm
+    exact_fps = float(
+        np.median([pipelined_sweep(tracker_exact)[1] for _ in range(3)])
+    )
 
     # propagation-only: features precomputed, single query group, no host
     # transfers in the loop — isolates the attention+decode scan
@@ -234,6 +227,46 @@ def main():
         prop_runs.append((T - 1) / (time.perf_counter() - t0))
     prop_fps = float(np.median(prop_runs))
 
+    # Kinetics-scale regression point: 250-frame video → ~5 GB f32 HBM
+    # feature bank, bank-direct Pallas propagation (the large-bank path
+    # tools/bench/kinetics_propagation.py studies).  The bank is built
+    # on-device (a 4.8 GB upload through the tunnel would swamp the
+    # measurement; the kernel work is identical on random features).
+    # Free the DAVIS-phase device arrays first: bank (4.8 GB) + the
+    # in-jit query-group slice (4.3 GB) barely fit 16 GB HBM next to the
+    # resident executables — the leftover DAVIS feature bank tips it over.
+    import gc
+
+    del feats, args
+    out = None
+    gc.collect()
+
+    from fgvc_tpu.config import KINETICS_TEST_CFG
+    from fgvc_tpu.models.tracker import _bucket
+
+    kcfg_exact = dataclasses.replace(KINETICS_TEST_CFG, frame_bucket=32)
+    kcfg = dataclasses.replace(kcfg_exact, matmul_precision="default")
+    Tk = 250
+    kbank = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (_bucket(Tk, 32) + 32, 128, 128, 256),
+        jnp.float32,
+    )
+    kpts = jnp.asarray(rng.uniform(16, 240, (P, 2)), jnp.float32)
+    kvalid = jnp.ones((P,), bool)
+    kargs = (kbank, jnp.int32(0), kpts, kvalid)
+    kkw = dict(full_hw=(256, 256), length=_bucket(Tk, 32))
+    kinetics = {}
+    for name, c in (("kinetics_fps", kcfg), ("kinetics_exact_fps", kcfg_exact)):
+        ktr = Tracker(lambda v, x: x, {}, c)
+        float(jnp.sum(ktr._track_group(*kargs, **kkw)))  # warm + sync
+        kr = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(ktr._track_group(*kargs, **kkw)))
+            kr.append((Tk - 1) / (time.perf_counter() - t0))
+        kinetics[name] = round(float(np.median(kr)), 2)
+
     record = {
         "metric": "davis_propagation_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -248,6 +281,7 @@ def main():
         "tunnel_MBps": round(mb / up_s, 1),
         "upload_ms_per_frame": round(1e3 * up_s / T, 2),
         "end_to_end_runs": [round(r, 2) for r in runs],
+        **kinetics,
     }
     print(json.dumps(record))
     # persist for the outage path: if a later invocation finds the tunnel
