@@ -212,6 +212,20 @@ def main():
         np.median([pipelined_sweep(tracker_exact)[1] for _ in range(3)])
     )
 
+    # 'high' mode: explicit bf16x3 affinity/value matmuls (Δ<D −0.009 in
+    # the study — an order tighter than the bf16 headline) — the fast
+    # parity-grade option if real data ever rejects the bf16 promotion
+    tracker_high = Tracker(
+        lambda v, x: model.apply(v, x, train=False),
+        variables,
+        dataclasses.replace(cfg_exact, matmul_precision="high"),
+    )
+    pipelined_sweep(tracker_high)  # warm
+    high_fps = float(
+        np.median([pipelined_sweep(tracker_high)[1] for _ in range(3)])
+    )
+    del tracker_high
+
     # propagation-only: features precomputed, single query group, no host
     # transfers in the loop — isolates the attention+decode scan
     feats = tracker._features_padded(videos[0])
@@ -278,6 +292,7 @@ def main():
         "propagation_only_fps": round(prop_fps, 2),
         "single_video_fps": round(sv_fps, 2),
         "exact_mode_fps": round(exact_fps, 2),
+        "high_mode_fps": round(high_fps, 2),
         "tunnel_MBps": round(mb / up_s, 1),
         "upload_ms_per_frame": round(1e3 * up_s / T, 2),
         "end_to_end_runs": [round(r, 2) for r in runs],
