@@ -202,7 +202,7 @@ def train_model(
             # self-supervised encoder (mixed_tracker.py teacher pretrained
             # path; configs/train/...py teacher backbone init)
             prev_state, _, prev_step = restore_checkpoint(
-                teacher_init, state, teacher_vars
+                teacher_init, state, teacher_vars, to_host=True
             )
             teacher_vars = {
                 "params": prev_state.params["backbone"],
@@ -228,7 +228,7 @@ def train_model(
         path = latest_checkpoint(work_dir)
         if path:
             state, teacher_vars, start = restore_checkpoint(
-                path, state, teacher_vars
+                path, state, teacher_vars, to_host=True
             )
             print(f"resumed from {path} (step {start})", flush=True)
             # keep the best-checkpoint tracking across restarts: a fresh
@@ -267,19 +267,25 @@ def train_model(
     except ValueError:  # not the main thread — run without the handler
         pass
     world = jax.process_count()
+    # host-side logging is process-0 only: every process runs the same
+    # SPMD program (checkpoint saves and val_fn MUST stay all-process —
+    # orbax and the eval collectives are coordinated), but JSONL / TB /
+    # wandb / best-pointer files would duplicate or interleave if every
+    # rank wrote them to a shared work_dir
+    is_lead = jax.process_index() == 0
 
     log_path = os.path.join(work_dir, "train_log.jsonl")
     tb = None
     try:
         from tensorboardX import SummaryWriter
 
-        tb = SummaryWriter(os.path.join(work_dir, "tb"))
+        tb = SummaryWriter(os.path.join(work_dir, "tb")) if is_lead else None
     except Exception:
         pass
     # WandbLoggerHook_Custom equivalent (core/hooks/wandb.py:10-108):
     # activates when wandb is installed AND WANDB_PROJECT is set.
     wandb_run = None
-    if os.environ.get("WANDB_PROJECT"):
+    if is_lead and os.environ.get("WANDB_PROJECT"):
         try:
             import wandb
 
@@ -307,7 +313,12 @@ def train_model(
         for batch in prefetch_iter(batches, depth=2):
             if step >= total:
                 break
-            rng, sub = jax.random.split(rng)
+            # fold the GLOBAL step into the key (not sequential splits from
+            # the loop head): a resumed run draws the exact per-step keys
+            # the uninterrupted run would have — with the loader's resume
+            # fast-forward (make_batches skip) this makes preempt → resume
+            # bitwise step-exact (tools/rehearse_train.py proves it)
+            sub = jax.random.fold_in(rng, step)
             batch = shard_batch(batch, mesh)
             state, losses = step_fn(state, teacher_vars, batch, sub)
             if cfg.check_numerics and not bool(losses["all_finite"]):
@@ -323,7 +334,7 @@ def train_model(
                 )
             step += 1
 
-            if step % log_interval == 0 or step == total:
+            if (step % log_interval == 0 or step == total) and is_lead:
                 vals = {k: float(v) for k, v in losses.items()}
                 vals["step"] = step
                 vals["steps_per_sec"] = (step - last_logged) / max(
@@ -345,16 +356,20 @@ def train_model(
                 )
             if step % ckpt_interval == 0 or step == total:
                 path = save_checkpoint(work_dir, state, teacher_vars, step)
-                print(f"saved {path}", flush=True)
+                if is_lead:
+                    print(f"saved {path}", flush=True)
             if (
                 val_fn is not None
                 and val_interval
                 and (step % val_interval == 0 or step == total)
             ):
                 metrics = val_fn(state)
-                with open(log_path, "a") as f:
-                    f.write(json.dumps({"step": step, "val": metrics}) + "\n")
-                print(f"[val @ {step}] {metrics}", flush=True)
+                if is_lead:
+                    with open(log_path, "a") as f:
+                        f.write(
+                            json.dumps({"step": step, "val": metrics}) + "\n"
+                        )
+                    print(f"[val @ {step}] {metrics}", flush=True)
                 cur = metrics.get(val_metric_key)
                 if cur is not None:
                     better = best_metric is None or (
@@ -363,25 +378,32 @@ def train_model(
                         else cur < best_metric
                     )
                     if better:
+                        # every process tracks best_metric and joins the
+                        # (coordinated) checkpoint save; only the lead
+                        # writes the pointer files
                         best_metric = float(cur)
                         save_checkpoint(work_dir, state, teacher_vars, step)
-                        with open(os.path.join(work_dir, "best"), "w") as f:
-                            f.write(f"step_{step}")
-                        with open(
-                            os.path.join(work_dir, "best.json"), "w"
-                        ) as f:
-                            json.dump(
-                                {
-                                    "step": step,
-                                    "metric": val_metric_key,
-                                    "value": best_metric,
-                                },
-                                f,
+                        if is_lead:
+                            with open(
+                                os.path.join(work_dir, "best"), "w"
+                            ) as f:
+                                f.write(f"step_{step}")
+                            with open(
+                                os.path.join(work_dir, "best.json"), "w"
+                            ) as f:
+                                json.dump(
+                                    {
+                                        "step": step,
+                                        "metric": val_metric_key,
+                                        "value": best_metric,
+                                    },
+                                    f,
+                                )
+                            print(
+                                f"[best @ {step}] "
+                                f"{val_metric_key}={best_metric}",
+                                flush=True,
                             )
-                        print(
-                            f"[best @ {step}] {val_metric_key}={best_metric}",
-                            flush=True,
-                        )
             if _sync_stop(preempt["flag"], world):
                 if step % ckpt_interval != 0 and step != total:
                     path = save_checkpoint(work_dir, state, teacher_vars, step)

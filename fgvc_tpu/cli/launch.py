@@ -55,6 +55,20 @@ def launch(nprocs: int, command: list, port: int = 0) -> int:
         # the child prefix its own logs if it wants to
         procs.append(subprocess.Popen(command, env=env))
     code = 0
+    # preemption pass-through: cluster managers SIGTERM the launcher, but
+    # the graceful-stop handler lives in the WORKERS (apis/train.py
+    # train_model: checkpoint at the step boundary + multi-host stop
+    # agreement) — forward the signal to every live rank and keep waiting
+    # for their clean exits
+    def _forward_sigterm(signum, frame):
+        for q in procs:
+            if q.poll() is None:
+                q.send_signal(signal.SIGTERM)
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _forward_sigterm)
+    except ValueError:  # not the main thread
+        prev_sigterm = None
     try:
         # poll ALL workers (torch.distributed.launch-style): a crash in ANY
         # rank terminates the rest immediately — an ordered wait would sit
@@ -82,6 +96,9 @@ def launch(nprocs: int, command: list, port: int = 0) -> int:
         for q in procs:
             q.wait()
         code = 130
+    finally:
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
     return code
 
 

@@ -12,7 +12,7 @@ devices automatically (batch must divide the device count).
 """
 
 import argparse
-
+import os
 
 
 def main():
@@ -43,6 +43,12 @@ def main():
                         help="correlation radius (default 24)")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--log-interval", type=int, default=50,
+                        help="loss-log cadence (steps) — the reference's "
+                             "log_config interval")
+    parser.add_argument("--ckpt-interval", type=int, default=None,
+                        help="checkpoint cadence (steps; default: half the "
+                             "run)")
     parser.add_argument("--lr", type=float, default=None,
                         help="peak learning rate (default 1e-3)")
     parser.add_argument("--teacher", default=None,
@@ -180,7 +186,16 @@ def main():
         len(dataset) // cfg.batch_size, 1
     )
     total = args.max_steps or cfg.max_epochs * steps_per_epoch
-    batches = make_batches(dataset, cfg.batch_size, total)
+    # resume fast-forwards the loader to the checkpointed step so the
+    # continued run sees exactly the batches an uninterrupted run would
+    skip = 0
+    if not args.no_resume:
+        from fgvc_tpu.core.checkpoint import latest_checkpoint
+
+        latest = latest_checkpoint(args.work_dir)
+        if latest:
+            skip = min(int(os.path.basename(latest).split("_")[-1]), total)
+    batches = make_batches(dataset, cfg.batch_size, total, skip=skip)
 
     if args.val_data_root:
         val_fn = make_tapvid_val_fn(
@@ -199,6 +214,8 @@ def main():
             args.work_dir,
             steps_per_epoch=steps_per_epoch,
             max_steps=args.max_steps,
+            log_interval=args.log_interval,
+            ckpt_interval=args.ckpt_interval,
             resume=not args.no_resume,
             teacher_init=args.teacher,
             teacher_ema=args.teacher_ema,

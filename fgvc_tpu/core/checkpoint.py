@@ -59,8 +59,20 @@ def best_checkpoint(work_dir: str) -> Optional[str]:
     return _pointer(work_dir, "best")
 
 
-def restore_checkpoint(path: str, state, teacher_vars) -> Tuple[Any, Any, int]:
-    """Restore into the given (abstract or concrete) state structures."""
+def restore_checkpoint(
+    path: str, state, teacher_vars, to_host: bool = False
+) -> Tuple[Any, Any, int]:
+    """Restore into the given (abstract or concrete) state structures.
+
+    `to_host=True` restores every leaf as a HOST numpy array (the target is
+    numpy-ified first — orbax follows the target's placement).  Required
+    when the caller will re-place the state onto a fresh global mesh
+    (train_model resume): restoring onto the template's single local device
+    and then device_put-ing to a multi-process sharding is a cross-host
+    transfer, which the CPU backend refuses; numpy → global sharding is the
+    supported placement path (every process holds the full value)."""
+    import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
@@ -71,6 +83,8 @@ def restore_checkpoint(path: str, state, teacher_vars) -> Tuple[Any, Any, int]:
         "step": state.step,
         "teacher": teacher_vars,
     }
+    if to_host:
+        target = jax.tree_util.tree_map(np.asarray, target)
     restored = ckpt.restore(os.path.abspath(path), target)
     new_state = state.replace(
         params=restored["params"],

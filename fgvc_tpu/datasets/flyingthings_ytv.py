@@ -408,10 +408,15 @@ class SyntheticMixedDataset:
         }
 
 
-def make_batches(dataset, batch_size: int, steps: int):
-    """Simple batching iterator (single-process host loader)."""
-    i = 0
-    for _ in range(steps):
+def make_batches(dataset, batch_size: int, steps: int, skip: int = 0):
+    """Simple batching iterator (single-process host loader).
+
+    `skip` fast-forwards past the first `skip` steps' samples WITHOUT
+    materializing them — a resumed run consumes exactly the batches an
+    uninterrupted run would have seen from that step on (step-exact
+    resume covers the data order, not just optimizer state)."""
+    i = skip * batch_size
+    for _ in range(steps - skip):
         samples = []
         for _ in range(batch_size):
             samples.append(dataset[i % len(dataset)])

@@ -463,6 +463,58 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     assert final is not None and final.endswith(f"step_{stop_step + 2}")
 
 
+def test_resume_is_step_exact(tmp_path):
+    """Preempt→resume reproduces the uninterrupted run exactly: optimizer
+    moments ride the checkpoint, the per-step RNG key is
+    fold_in(rng, global_step) — NOT sequential splits from the loop head —
+    and the caller replays the post-checkpoint batches (cli/train.py does
+    it via make_batches(skip=)).  tools/rehearse_train.py proves the same
+    property through the full launch.py → tools/train.py stack on a
+    2-process mesh; this pins it at unit scale.  The reference has no
+    elastic-resume story (mmcv runner resume restores state but replays
+    the epoch's loader from scratch)."""
+    import jax
+
+    from fgvc_tpu.apis.train import train_model
+    from fgvc_tpu.config import TrainConfig
+
+    cfg = TrainConfig(radius=2, crop_size=16, batch_size=8)
+
+    def mk(i):
+        r = np.random.default_rng(100 + i)
+        return {
+            "imgs": r.standard_normal((8, 2, 16, 16, 3)).astype(np.float32),
+            "imgs_sup": r.standard_normal((8, 2, 16, 16, 3)).astype(
+                np.float32
+            ),
+            "flow": r.standard_normal((8, 16, 16, 2)).astype(np.float32),
+            "flow_back": r.standard_normal((8, 16, 16, 2)).astype(np.float32),
+        }
+
+    seq = [mk(i) for i in range(4)]
+    kw = dict(steps_per_epoch=10, log_interval=1000)
+    state_a, _ = train_model(
+        cfg, list(seq), str(tmp_path / "a"), max_steps=4,
+        ckpt_interval=1000, resume=False, **kw
+    )
+    # interrupted twin: checkpoint at step 2, then resume on the suffix
+    train_model(
+        cfg, seq[:2], str(tmp_path / "b"), max_steps=2,
+        ckpt_interval=2, resume=False, **kw
+    )
+    state_b, _ = train_model(
+        cfg, seq[2:], str(tmp_path / "b"), max_steps=4,
+        ckpt_interval=1000, resume=True, **kw
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7
+        )
+
+
 def test_fused_encoder_mode():
     """fused_encoder=True batches the rec+sup pairs through one backbone
     call.  Same objective; BN normalizes over the union batch, so values
