@@ -133,9 +133,14 @@ def _make_kernel(
         in_img = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
         bias = rbias_ref[:] + jnp.where(in_img, 0.0, NEG)
 
-        def k_dma(slot, t):
+        def k_dma(slot, t, r=None, c=None):
             return pltpu.make_async_copy(
-                k_hbm.at[idx_ref[t], pl.ds(r0, rows_pad), pl.ds(c0, wpad), :],
+                k_hbm.at[
+                    idx_ref[t],
+                    pl.ds(r0 if r is None else r, rows_pad),
+                    pl.ds(c0 if c is None else c, wpad),
+                    :,
+                ],
                 k_buf.at[slot],
                 sem.at[slot],
             )
@@ -148,7 +153,22 @@ def _make_kernel(
             )
 
         # ---------- pass A: affinity into VMEM, one matmul per frame ------- #
-        k_dma(0, 0).start()
+        # frame-0 keys arrive by CROSS-STEP PREFETCH: every grid step but
+        # the last issues the NEXT step's frame-0 key DMA right after its
+        # own pass A (k_buf[0] is free then), so the copy streams behind
+        # passes B+C (~⅔ of the kernel) instead of stalling the next pass A.
+        # Grid steps run sequentially row-major on a TPU core
+        # (dimension_semantics='arbitrary' pins it); only the very first
+        # step starts its own frame 0.
+        @pl.when((ti == 0) & (tj == 0))
+        def _():
+            k_dma(0, 0).start()
+
+        if debug_passes == "abc":
+            # value frame 0 can stream behind the whole of pass A/B (the
+            # profiling cut-downs never reach pass C — keep their
+            # semaphore accounting clean by not issuing it there)
+            v_dma(0, 0).start()
 
         def pa_frame(t, _):
             slot = t % 2
@@ -196,6 +216,15 @@ def _make_kernel(
             return 0
 
         jax.lax.fori_loop(0, T, pa_frame, 0)
+
+        # cross-step prefetch: next grid step's frame-0 keys (see pass A)
+        ntw = pl.num_programs(1)
+        lin_next = ti * ntw + tj + 1
+        @pl.when(lin_next < pl.num_programs(0) * ntw)
+        def _():
+            r2 = row0_ref[0] + (lin_next // ntw) * tile
+            c2 = (lin_next % ntw) * tile
+            k_dma(0, 0, r=r2, c=c2).start()
 
         if debug_passes == "a":
             # profiling mode (tools/bench/pass_breakdown.py): pass A only —
@@ -304,7 +333,7 @@ def _make_kernel(
             return
 
         # ---------- pass C: value accumulation from resident affinity ------ #
-        v_dma(0, 0).start()
+        # (frame-0 value DMA was issued at kernel entry — already resident)
 
         def pc_frame(t, acc):
             slot = t % 2
@@ -670,6 +699,10 @@ def _call_fused_kernel(
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
+            # the kernel prefetches the NEXT grid step's frame-0 keys —
+            # grid steps must execute sequentially row-major (also keeps
+            # Megacore from splitting the grid on multi-core chips)
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(row0_smem, idx_smem, fb_smem, rbias, qpad, kpad, vpad)
