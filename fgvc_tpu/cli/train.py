@@ -25,10 +25,19 @@ def main():
     parser.add_argument(
         "--synthetic-mode",
         default="noise",
-        choices=["noise", "structured"],
+        choices=["noise", "structured", "movi"],
         help="structured = textured scenes with exact flow (real "
              "correspondence signal; convergence evidence), noise = iid "
-             "noise (pure smoke test)",
+             "noise (pure smoke test), movi = rec branch trains on MOVi "
+             "scene-video pairs (--movi-root) while sup/adversarial keep "
+             "the procedural flow-labeled domain — the reference's "
+             "YTV+FlyingThings recipe shape",
+    )
+    parser.add_argument(
+        "--movi-root", default=None,
+        help="directory of generate_movi.py pickles for "
+             "--synthetic-mode movi (use DIFFERENT scenes/seed than "
+             "--val-data-root)",
     )
     parser.add_argument(
         "--config", default=None,
@@ -167,12 +176,21 @@ def main():
     cfg = dataclasses.replace(cfg, **flag_overrides)
 
     if args.synthetic or not args.ytv_root:
-        ds_cls = (
-            StructuredSyntheticMixedDataset
-            if args.synthetic_mode == "structured"
-            else SyntheticMixedDataset
-        )
-        dataset = ds_cls(crop=cfg.crop_size, seed=cfg.seed)
+        if args.synthetic_mode == "movi":
+            from fgvc_tpu.datasets.flyingthings_ytv import MoviMixedDataset
+
+            if not args.movi_root:
+                parser.error("--synthetic-mode movi needs --movi-root")
+            dataset = MoviMixedDataset(
+                args.movi_root, crop=cfg.crop_size, seed=cfg.seed
+            )
+        else:
+            ds_cls = (
+                StructuredSyntheticMixedDataset
+                if args.synthetic_mode == "structured"
+                else SyntheticMixedDataset
+            )
+            dataset = ds_cls(crop=cfg.crop_size, seed=cfg.seed)
     else:
         dataset = FlyingThingsYtvDataset(
             args.ytv_root,

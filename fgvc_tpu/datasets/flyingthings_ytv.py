@@ -385,6 +385,67 @@ class StructuredSyntheticMixedDataset:
         }
 
 
+class MoviMixedDataset(StructuredSyntheticMixedDataset):
+    """Mixed-training samples whose UNLABELED pair comes from MOVi-style
+    scene videos (tools/data/generate_movi.py pickles — the eval domain)
+    while the supervised pair + exact flow stay procedural (the
+    flow-labeled source domain).  The synthetic analogue of the reference
+    recipe — reconstruction on YTV video crops, supervision on synthetic
+    FlyingThings, adversarial correlation alignment between the two
+    domains (/root/reference/mmpt/datasets/flyingthings_ytv_dataset.py:
+    imgs from the video branch, imgs_sup/flow from the flow branch).
+    Used by the round-4 mixed-objective signal study
+    (docs/convergence.md): train the rec branch IN the eval domain and
+    measure whether the cross-domain sup/adversarial branches help or
+    hurt held-out-scene validation."""
+
+    def __init__(
+        self,
+        movi_dir: str,
+        crop: int = 256,
+        length: int = 64,
+        seed: int = 0,
+        max_shift: int = 8,
+        n_sprites: int = 2,
+        max_gap: int = 4,
+    ):
+        super().__init__(crop, length, seed, max_shift, n_sprites)
+        import pickle
+
+        self.clips: List[np.ndarray] = []
+        for p in sorted(glob.glob(os.path.join(movi_dir, "*.pkl"))):
+            with open(p, "rb") as f:
+                self.clips.append(pickle.load(f)["video"])  # (T,H,W,3) u8
+        if not self.clips:
+            raise FileNotFoundError(f"no MOVi pickles under {movi_dir}")
+        self.max_gap = max_gap
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.seed + idx)
+        v = self.clips[int(rng.integers(len(self.clips)))]
+        gap = int(rng.integers(1, self.max_gap + 1))
+        t = int(rng.integers(0, len(v) - gap))
+        f0, f1 = v[t], v[t + gap]
+        if f0.shape[0] > self.crop or f0.shape[1] > self.crop:
+            y = int(rng.integers(0, f0.shape[0] - self.crop + 1))
+            x = int(rng.integers(0, f0.shape[1] - self.crop + 1))
+            f0 = f0[y : y + self.crop, x : x + self.crop]
+            f1 = f1[y : y + self.crop, x : x + self.crop]
+        imgs = np.stack(
+            [rgb_to_lab_normalized(f0), rgb_to_lab_normalized(f1)]
+        )
+        g0, g1, flow, flow_back = self._scene_pair(rng)
+        imgs_sup = np.stack(
+            [rgb_to_lab_normalized(g1), rgb_to_lab_normalized(g0)]
+        )
+        return {
+            "imgs": imgs.astype(np.float32),
+            "imgs_sup": imgs_sup.astype(np.float32),
+            "flow": flow.astype(np.float32),
+            "flow_back": flow_back.astype(np.float32),
+        }
+
+
 class SyntheticMixedDataset:
     """Noise data with the mixed-training sample protocol (for smoke tests
     and environments without the datasets mounted)."""

@@ -107,6 +107,45 @@ def test_structured_synthetic_mixed_dataset():
                                       max_shift=4, n_sprites=1)[1]["flow"])
 
 
+def test_movi_mixed_dataset(tmp_path):
+    """MoviMixedDataset: rec pair sampled from MOVi pickles (eval domain),
+    sup pair + exact flow stay procedural; sample protocol matches the
+    mixed loss contract and is deterministic per index."""
+    import pickle
+
+    import numpy as np
+
+    from fgvc_tpu.datasets.flyingthings_ytv import MoviMixedDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        vid = rng.integers(0, 256, (6, 80, 96, 3), dtype=np.uint8)
+        with open(tmp_path / f"movi_{i:05d}.pkl", "wb") as f:
+            pickle.dump({"video": vid}, f)
+
+    ds = MoviMixedDataset(str(tmp_path), crop=64, length=4, seed=7,
+                          max_shift=4, n_sprites=1, max_gap=3)
+    s = ds[2]
+    assert s["imgs"].shape == (2, 64, 64, 3)
+    assert s["imgs_sup"].shape == (2, 64, 64, 3)
+    assert s["flow"].shape == (64, 64, 2)
+    assert s["flow_back"].shape == (64, 64, 2)
+    assert all(v.dtype == np.float32 for v in s.values())
+    # the rec pair is a crop of a real clip: both frames from the same
+    # spatial window, so Lab values stay in range and frames differ
+    assert not np.array_equal(s["imgs"][0], s["imgs"][1])
+
+    s2 = MoviMixedDataset(str(tmp_path), crop=64, length=4, seed=7,
+                          max_shift=4, n_sprites=1, max_gap=3)[2]
+    for k in s:
+        np.testing.assert_array_equal(s[k], s2[k])
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        MoviMixedDataset(str(tmp_path / "empty"), crop=64)
+
+
 def test_ytv_json_frame_lists_used_verbatim(tmp_path):
     """The reference trains on the json's exact (5-strided) frame lists
     (flyingthings_ytv_dataset.py:62-68); a directory holding ALL frames
