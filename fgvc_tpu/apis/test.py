@@ -297,14 +297,8 @@ def eval_tapvid(
             out = (
                 tracker.track_points_collect(dp)
                 if can_dispatch
-                else (
-                    tracker.track_points(
-                        sample["video"], sample["query_points"], feats=feats
-                    )
-                    if feats is not None
-                    else tracker.track_points(
-                        sample["video"], sample["query_points"]
-                    )
+                else tracker.track_points(
+                    sample["video"], sample["query_points"], feats=feats
                 )
             )
         print(

@@ -185,7 +185,11 @@ class FlyingThingsYtvDataset:
         self.crop = crop
         self.unsup_pipe = UnsupPipeline(out_size=crop)
         self.sup_pipe = SupPipeline(crop=crop)
-        self.rng = np.random.default_rng(seed)
+        # per-__getitem__ rng seeded by (seed, idx) — stateless per call,
+        # so make_batches(skip=) resume is step-exact on this real-data
+        # path too (a shared mutable Generator would replay the
+        # pre-preemption augmentation stream onto post-resume indices)
+        self.seed = seed
 
         # YTV video index: json {vid: [frame files]} (the reference's
         # data_info/youtube2018_train.json — values are the EXACT frames to
@@ -267,7 +271,10 @@ class FlyingThingsYtvDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         import cv2
 
-        rng = self.rng
+        # idx is the raw draw counter (make_batches does NOT mod by len);
+        # identity cycles through the video list, randomness is seeded by
+        # the raw counter so epochs see fresh clip starts / crops / pairs
+        rng = np.random.default_rng((self.seed, idx))
         frames = self.ytv_videos[idx % len(self.ytv_videos)]
         t0 = int(rng.integers(0, len(frames) - 1))
         clip = [
@@ -368,6 +375,7 @@ class StructuredSyntheticMixedDataset:
         return f0, f1, flow, flow_back
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        idx %= self.length  # raw draw counter → cycle `length` scenes
         rng = np.random.default_rng(self.seed + idx)
         f0, f1, _, _ = self._scene_pair(rng)  # unsup clip (order free)
         imgs = np.stack(
@@ -415,22 +423,38 @@ class MoviMixedDataset(StructuredSyntheticMixedDataset):
         self.clips: List[np.ndarray] = []
         for p in sorted(glob.glob(os.path.join(movi_dir, "*.pkl"))):
             with open(p, "rb") as f:
-                self.clips.append(pickle.load(f)["video"])  # (T,H,W,3) u8
+                v = pickle.load(f)["video"]  # (T,H,W,3) u8
+            if v.ndim != 4 or v.shape[-1] != 3 or len(v) < 2:
+                raise ValueError(
+                    f"{p}: expected video (T>=2, H, W, 3), got {v.shape}"
+                )
+            self.clips.append(v)
         if not self.clips:
             raise FileNotFoundError(f"no MOVi pickles under {movi_dir}")
         self.max_gap = max_gap
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        idx %= self.length  # raw draw counter → cycle `length` samples
         rng = np.random.default_rng(self.seed + idx)
         v = self.clips[int(rng.integers(len(self.clips)))]
-        gap = int(rng.integers(1, self.max_gap + 1))
+        gap = int(rng.integers(1, min(self.max_gap, len(v) - 1) + 1))
         t = int(rng.integers(0, len(v) - gap))
         f0, f1 = v[t], v[t + gap]
-        if f0.shape[0] > self.crop or f0.shape[1] > self.crop:
-            y = int(rng.integers(0, f0.shape[0] - self.crop + 1))
-            x = int(rng.integers(0, f0.shape[1] - self.crop + 1))
-            f0 = f0[y : y + self.crop, x : x + self.crop]
-            f1 = f1[y : y + self.crop, x : x + self.crop]
+        h, w = f0.shape[:2]
+        if h < self.crop or w < self.crop:
+            # upscale so the shorter side reaches the crop (same window
+            # for both frames keeps the pair photometrically consistent)
+            s = self.crop / min(h, w)
+            wh = (max(self.crop, round(w * s)), max(self.crop, round(h * s)))
+            f0 = cv2.resize(f0, wh, interpolation=cv2.INTER_LINEAR)
+            f1 = cv2.resize(f1, wh, interpolation=cv2.INTER_LINEAR)
+            h, w = f0.shape[:2]
+        y = int(rng.integers(0, h - self.crop + 1))
+        x = int(rng.integers(0, w - self.crop + 1))
+        f0 = f0[y : y + self.crop, x : x + self.crop]
+        f1 = f1[y : y + self.crop, x : x + self.crop]
         imgs = np.stack(
             [rgb_to_lab_normalized(f0), rgb_to_lab_normalized(f1)]
         )
@@ -459,6 +483,7 @@ class SyntheticMixedDataset:
         return self.length
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        idx %= self.length  # raw draw counter → cycle `length` samples
         rng = np.random.default_rng(self.seed + idx)
         s = self.crop
         return {
@@ -475,12 +500,18 @@ def make_batches(dataset, batch_size: int, steps: int, skip: int = 0):
     `skip` fast-forwards past the first `skip` steps' samples WITHOUT
     materializing them — a resumed run consumes exactly the batches an
     uninterrupted run would have seen from that step on (step-exact
-    resume covers the data order, not just optimizer state)."""
+    resume covers the data order, not just optimizer state).  That
+    guarantee requires datasets to be STATELESS per call: the iterator
+    passes the RAW monotone draw counter (not counter % len), and each
+    dataset derives both its sample identity (idx % len internally) and
+    ALL its augmentation randomness from that idx — never from a shared
+    mutable Generator, which would replay the pre-preemption stream onto
+    post-resume indices."""
     i = skip * batch_size
     for _ in range(steps - skip):
         samples = []
         for _ in range(batch_size):
-            samples.append(dataset[i % len(dataset)])
+            samples.append(dataset[i])
             i += 1
         yield {
             k: np.stack([s[k] for s in samples]) for k in samples[0]

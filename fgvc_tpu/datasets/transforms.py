@@ -551,7 +551,6 @@ class RandomScaleCrop:
                 results[self.keys][k] = _imresize(crop, W, H)
             else:
                 pad_l, pad_t = abs(jj), abs(ii)
-                pad_r, pad_b = new_w - W - pad_l, new_h - H - pad_t
                 pad = np.zeros((new_h, new_w) + image.shape[2:],
                                image.dtype)
                 pad[pad_t:pad_t + H, pad_l:pad_l + W] = image
@@ -760,7 +759,7 @@ class BlockwiseMaskGenerator:
         mask[mask_idx] = 1
         mask = mask.reshape(self.rand_size, self.rand_size)
         mask = mask.repeat(self.scale, axis=0).repeat(self.scale, axis=1)
-        if self.keys is not self.output_keys:
+        if self.keys != self.output_keys:
             results[self.output_keys] = _copy.deepcopy(results[self.keys])
         if self.mask_color == "mean":
             img = results[self.keys][self.frame_idx]

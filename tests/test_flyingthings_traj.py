@@ -145,6 +145,26 @@ def test_movi_mixed_dataset(tmp_path):
     with pytest.raises(FileNotFoundError):
         MoviMixedDataset(str(tmp_path / "empty"), crop=64)
 
+    # robustness: clips smaller than the crop are upscaled (not crashed
+    # on / emitted ragged), and short clips clamp the frame gap
+    small = tmp_path / "small"
+    small.mkdir()
+    vid = rng.integers(0, 256, (2, 40, 48, 3), dtype=np.uint8)
+    with open(small / "movi_00000.pkl", "wb") as f:
+        pickle.dump({"video": vid}, f)
+    ds_small = MoviMixedDataset(str(small), crop=64, length=4, seed=1,
+                                max_shift=4, n_sprites=1, max_gap=4)
+    for i in range(3):
+        assert ds_small[i]["imgs"].shape == (2, 64, 64, 3)
+
+    # malformed pickles fail at load time with the offending file named
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with open(bad / "movi_00000.pkl", "wb") as f:
+        pickle.dump({"video": vid[0]}, f)  # (H, W, 3): not a video
+    with pytest.raises(ValueError, match="movi_00000"):
+        MoviMixedDataset(str(bad), crop=64)
+
 
 def test_ytv_json_frame_lists_used_verbatim(tmp_path):
     """The reference trains on the json's exact (5-strided) frame lists
@@ -202,3 +222,15 @@ def test_ytv_json_frame_lists_used_verbatim(tmp_path):
     assert len(ds.fly_pairs) == 1
     assert len(ds.ytv_videos) == 1
     assert [os.path.basename(p) for p in ds.ytv_videos[0]] == listed
+
+    # step-exact resume on the REAL-data path: the dataset must be
+    # stateless per call (randomness derived from the raw draw counter),
+    # so make_batches(skip=k) reproduces the uninterrupted run's batches
+    from fgvc_tpu.datasets.flyingthings_ytv import make_batches
+
+    full = list(make_batches(ds, batch_size=2, steps=4))
+    resumed = list(make_batches(ds, batch_size=2, steps=4, skip=2))
+    assert len(resumed) == 2
+    for a, b in zip(full[2:], resumed):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

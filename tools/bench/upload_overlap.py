@@ -72,7 +72,10 @@ def main(mode="f32"):
     def sweep_no_upload():
         # features for all videos preloaded: the pure device-side loop
         pre = [tracker._features_padded(v) for v in videos]
-        jax.block_until_ready(pre)
+        # block_until_ready does not reliably sync through the tunnel —
+        # force each upload to completion with a host-side reduction
+        for leaf in jax.tree_util.tree_leaves(pre):
+            float(jnp.sum(leaf))
         t0 = time.perf_counter()
         for v, feats in zip(videos, pre):
             out = tracker.track_points(v, qp, feats=feats)
