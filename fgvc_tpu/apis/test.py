@@ -297,8 +297,13 @@ def eval_tapvid(
             out = (
                 tracker.track_points_collect(dp)
                 if can_dispatch
+                # Trackers without the dispatch/collect split (e.g.
+                # RaftTracker) may not accept a feats= kwarg; only forward
+                # it when the loader actually produced features.
                 else tracker.track_points(
-                    sample["video"], sample["query_points"], feats=feats
+                    sample["video"],
+                    sample["query_points"],
+                    **({"feats": feats} if feats is not None else {}),
                 )
             )
         print(

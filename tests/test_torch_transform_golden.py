@@ -25,11 +25,13 @@ REF_AUG = "/root/reference/mmpt/datasets/pipelines"
 
 
 @pytest.fixture(scope="module")
-def ref_aug():
+def ref_aug(request):
     # np.int was removed in numpy 1.24; the reference predates that.
-    # Restore the plain alias for the module under test.
+    # Restore the plain alias for the module under test — and remove it
+    # again afterwards so later tests in the session see stock numpy.
     if not hasattr(np, "int"):
         np.int = int
+        request.addfinalizer(lambda: delattr(np, "int"))
 
     for name in ("mmpt", "mmpt.datasets"):
         sys.modules.setdefault(name, types.ModuleType(name))

@@ -115,10 +115,18 @@ def _run_phase(args, work_dir, log_f, preempt_step=None, timeout=1800):
             p.kill()
             raise TimeoutError(f"phase exceeded {timeout}s")
         if preempt_step is not None and not sent and os.path.exists(jsonl):
+            steps = []
             with open(jsonl) as f:
-                steps = [
-                    json.loads(l).get("step", 0) for l in f if l.strip()
-                ]
+                for l in f:
+                    if not l.strip():
+                        continue
+                    # the trainer appends concurrently; the last line may be
+                    # mid-write (val records are multi-KB) — skip it rather
+                    # than abort the monitor
+                    try:
+                        steps.append(json.loads(l).get("step", 0))
+                    except json.JSONDecodeError:
+                        continue
             if steps and max(steps) >= preempt_step:
                 log_f.write(
                     f"[rehearsal] step {max(steps)} reached — SIGTERM to "
