@@ -283,6 +283,48 @@ def main():
             kr.append((Tk - 1) / (time.perf_counter() - t0))
         kinetics[name] = round(float(np.median(kr)), 2)
 
+    # VOS regression point: full-res DAVIS-VOS shapes (480×880), save_mem
+    # STREAMING propagation (backbone runs inside the scan; window-bounded
+    # memory — the mode tools/test.py --task vos uses for long full-res
+    # videos).  Video is device-resident uint8: the 60 MB upload through
+    # the tunnel would swamp the measurement, and production hosts move it
+    # at GB/s over PCIe.  Exact + headline precision, like Kinetics.
+    del kbank, kargs
+    gc.collect()
+    Hv, Wv, Tv = 480, 880, 48
+    vcfg_exact = dataclasses.replace(
+        DAVIS_TEST_CFG, input_size=(Hv, Wv), save_mem=True, frame_bucket=48
+    )
+    vcfg = dataclasses.replace(vcfg_exact, matmul_precision="default")
+    vvideo = jax.device_put(
+        rng.integers(0, 256, (Tv, Hv, Wv, 3), dtype=np.uint8)
+    )
+    vmask = np.zeros((Hv, Wv), np.int32)
+    vmask[100:300, 200:500] = 1
+    vmask[320:420, 600:800] = 2
+    vos = {}
+    for name, c in (("vos_fps", vcfg), ("vos_exact_fps", vcfg_exact)):
+        vtr = Tracker(
+            lambda v, x: model.apply(v, x, train=False), variables, c
+        )
+        fh, fw = vtr.extract_features(vvideo[:1]).shape[1:3]
+        small = jax.image.resize(
+            jnp.asarray(vmask, jnp.float32)[..., None],
+            (fh, fw, 1),
+            method="nearest",
+        )[..., 0].astype(jnp.int32)
+        onehot = jax.nn.one_hot(small, 3, dtype=jnp.float32)
+        call = lambda: float(
+            jnp.sum(vtr._propagate_m_stream(vvideo, onehot, (Hv, Wv), "square"))
+        )
+        call()  # warm + sync
+        vr = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            call()
+            vr.append((Tv - 1) / (time.perf_counter() - t0))
+        vos[name] = round(float(np.median(vr)), 2)
+
     record = {
         "metric": "davis_propagation_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -299,6 +341,7 @@ def main():
         "upload_ms_per_frame": round(1e3 * up_s / T, 2),
         "end_to_end_runs": [round(r, 2) for r in runs],
         **kinetics,
+        **vos,
     }
     print(json.dumps(record))
     # persist for the outage path: if a later invocation finds the tunnel
