@@ -319,7 +319,7 @@ def main():
         )
         call()  # warm + sync
         vr = []
-        for _ in range(3):
+        for _ in range(5):  # 5 sweeps: tunnel weather swings 3-run medians
             t0 = time.perf_counter()
             call()
             vr.append((Tv - 1) / (time.perf_counter() - t0))

@@ -767,6 +767,10 @@ class Tracker:
         (precede_frames)-deep key buffer — window-bounded memory with zero
         recompute. Full-res 480p VOS over long videos fits HBM this way.
         """
+        if self.spatial_mesh is not None:
+            return self._scan_propagate_streaming_sp(
+                video, first_value, mask_shape, emit
+            )
         cfg = self.cfg
         T = video.shape[0]
 
@@ -810,6 +814,183 @@ class Tracker:
         value_buf0 = jnp.tile(first_value[None], (cfg.precede_frames, 1, 1, 1))
         _, outs = jax.lax.scan(step, (feat_buf0, value_buf0), jnp.arange(1, T))
         return outs
+
+    def _scan_propagate_streaming_sp(self, video, first_value, mask_shape,
+                                     emit):
+        """Spatial-parallel save_mem streaming propagation.
+
+        Composes `_scan_propagate_sp`'s row sharding with the streaming
+        scan: every device runs the backbone on the FULL frame (convs need
+        the whole image — the per-frame feature cost is replicated; the
+        windowed attention, which dominates at full-res VOS shapes, shards
+        over query rows), keeps the rolling key-window buffer in
+        kernel-padded layout, and computes its row block against the
+        window as a (1+precede_frames)-frame mini-bank.  One (h, w, K)
+        all_gather per frame re-forms the logits so the rolling value
+        buffer — and hence the output — matches the single-device
+        streaming scan (tests/test_spatial.py::test_sp_save_mem_*).
+        """
+        cfg = self.cfg
+        mesh = self.spatial_mesh
+        n = int(np.prod(mesh.devices.shape))
+        if "space" not in mesh.axis_names:
+            raise ValueError("spatial_mesh needs an axis named 'space'")
+        if cfg.attention_impl not in ("pallas", "tiled"):
+            raise ValueError(
+                "spatial-parallel streaming propagation supports "
+                f"attention_impl 'pallas'/'tiled', not {cfg.attention_impl!r}"
+            )
+        if not cfg.with_first_neighbor:
+            raise ValueError(
+                "spatial-parallel propagation requires with_first_neighbor"
+            )
+        T = video.shape[0]
+        use_pallas = cfg.attention_impl == "pallas"
+        radius = cfg.neighbor_range // 2
+        tile = min(cfg.tile, 16) if use_pallas else cfg.tile
+        interp = jax.default_backend() == "cpu"
+
+        pre_rgb, _ = self._preprocess_fns()
+        from fgvc_tpu.ops.attention import l2_normalize
+        from fgvc_tpu.ops.windowed_attention import masked_topk_attention_tiled
+
+        if use_pallas:
+            from fgvc_tpu.ops.pallas.topk_attention import (
+                fused_topk_attention_banked,
+                pad_key_bank_pallas,
+                pallas_compute_dtype,
+            )
+
+            compute_dtype = pallas_compute_dtype(cfg.matmul_precision)
+
+        def feat(frame):
+            imgs = frame[None]
+            if imgs.dtype == jnp.uint8:
+                imgs = pre_rgb(imgs)
+            f = self.apply_fn(self.variables, imgs)[0]
+            return l2_normalize(f) if cfg.with_norm else f
+
+        # row-block geometry, derived ONCE from the backbone's static
+        # output shape (shared by the in-scan kernels and the row0s below)
+        h, w, C = jax.eval_shape(
+            feat, jax.ShapeDtypeStruct(video.shape[1:], video.dtype)
+        ).shape
+        Hp = _bucket(h, tile)
+        hb = _bucket(-(-Hp // n), tile)       # query rows per device
+        gridH = n * hb
+        Wp = _bucket(w, tile)
+
+        def run(video, first_value, row0_arr):
+            row0 = row0_arr[0]
+            f0 = feat(video[0])
+
+            if use_pallas:
+                def pad_key(f):
+                    # kernel-layout halo pad (features already normalized)
+                    return pad_key_bank_pallas(
+                        f[None], float(radius), tile=tile, normalize=False,
+                        compute_dtype=compute_dtype, grid_rows=gridH,
+                    )[0]
+
+                f0k = pad_key(f0)
+                kbuf0 = jnp.tile(f0k[None], (cfg.precede_frames, 1, 1, 1))
+            else:
+                f0k = f0
+                kbuf0 = jnp.tile(f0[None], (cfg.precede_frames, 1, 1, 1))
+            value_buf0 = jnp.tile(
+                first_value[None], (cfg.precede_frames, 1, 1, 1)
+            )
+
+            def step(carry, t):
+                kbuf, value_buf = carry
+                q = feat(video[t])
+                offs = jnp.arange(cfg.precede_frames) - cfg.precede_frames
+                key_valid = jnp.concatenate(
+                    [jnp.full((1,), cfg.with_first, bool), t + offs >= 0]
+                )
+                values = jnp.concatenate(
+                    [first_value[None], value_buf], axis=0
+                )
+                if use_pallas:
+                    qpad = jnp.pad(
+                        q, ((0, gridH - h), (0, Wp - w), (0, 0))
+                    ).astype(f0k.dtype)
+                    qblk = jax.lax.dynamic_slice(
+                        qpad, (row0, 0, 0), (hb, Wp, C)
+                    )
+                    kentry = pad_key(q)
+                    seg_blk = fused_topk_attention_banked(
+                        qblk,
+                        jnp.concatenate([f0k[None], kbuf], axis=0),
+                        values,
+                        frame_idx=jnp.arange(
+                            1 + cfg.precede_frames, dtype=jnp.int32
+                        ),
+                        key_valid=key_valid,
+                        H=h,
+                        W=w,
+                        radius=float(radius),
+                        temperature=cfg.temperature,
+                        topk=cfg.topk,
+                        tile=tile,
+                        mask_shape=mask_shape,
+                        compute_dtype=compute_dtype,
+                        interpret=interp,
+                        row0=row0,
+                        grid_rows=gridH,
+                    )
+                else:
+                    qpad = jnp.pad(q, ((0, gridH - h), (0, 0), (0, 0)))
+                    qblk = jax.lax.dynamic_slice(
+                        qpad, (row0, 0, 0), (hb, w, C)
+                    )
+                    kentry = q
+                    seg_blk = masked_topk_attention_tiled(
+                        qblk,
+                        jnp.concatenate([f0k[None], kbuf], axis=0),
+                        values,
+                        radius=float(radius),
+                        temperature=cfg.temperature,
+                        topk=cfg.topk,
+                        normalize=False,
+                        tile=tile,
+                        mask_shape=mask_shape,
+                        key_valid=key_valid,
+                        precision=cfg.matmul_precision,
+                        topk_impl=cfg.topk_impl,
+                        row_offset=row0,
+                        full_h=h,
+                        grid_rows=gridH,
+                    )
+                # ICI collective: re-form the full frame logits (block rows
+                # past the real grid carry kernel garbage — sliced off here)
+                seg = jax.lax.all_gather(
+                    seg_blk, "space", axis=0, tiled=True
+                )[:h]
+                new_carry = (
+                    jnp.concatenate([kbuf[1:], kentry[None]], axis=0),
+                    jnp.concatenate(
+                        [value_buf[1:], self._bank_entry(seg)[None]], axis=0
+                    ),
+                )
+                return new_carry, emit(seg)
+
+            _, outs = jax.lax.scan(
+                step, (kbuf0, value_buf0), jnp.arange(1, T)
+            )
+            return outs
+
+        from jax.sharding import PartitionSpec as PSpec
+
+        row0s = jnp.arange(n, dtype=jnp.int32) * hb
+        sharded = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(PSpec(), PSpec(), PSpec("space")),
+            out_specs=PSpec(),
+            check_vma=False,
+        )
+        return sharded(video, first_value, row0s)
 
     def _propagate_masks_stream_impl(
         self,
@@ -1174,16 +1355,13 @@ class Tracker:
         `device` pins the work to one local device for data-parallel eval."""
         cfg = self.cfg
         T = video.shape[0]
-        if cfg.save_mem and self.spatial_mesh is not None:
-            raise ValueError(
-                "spatial-parallel propagation does not cover save_mem "
-                "streaming yet (features are computed inside the scan); "
-                "use the banked path or drop spatial_mesh"
-            )
-        # Under a spatial mesh the VIDEO stays on the default device (one
-        # tunnel upload + one backbone pass; _features_padded broadcasts
-        # the resulting bank over ICI) — only the small label arrays take
-        # the replicated mesh placement.
+        # Under a spatial mesh the BANKED path keeps the video on the
+        # default device (one tunnel upload + one backbone pass;
+        # _features_padded broadcasts the resulting bank over ICI) — only
+        # the small label arrays take the replicated mesh placement.  The
+        # save_mem STREAMING path instead replicates the video over the
+        # mesh (put below): each device runs the backbone on full frames
+        # inside the scan, so every device needs every frame.
         feat_device = device
         if device is None:
             device = self._sp_sharding()

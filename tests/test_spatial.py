@@ -306,11 +306,60 @@ def test_sp_rejects_unsupported_modes():
     with pytest.raises(ValueError, match="spatial-parallel"):
         Tracker(feat_fn, {}, cfg, spatial_mesh=mesh).track_points(video, qpts)
 
-    cfg = _sp_cfg(save_mem=True)
-    with pytest.raises(ValueError, match="save_mem"):
+    cfg = _sp_cfg(save_mem=True, attention_impl="dense")
+    with pytest.raises(ValueError, match="spatial-parallel"):
         Tracker(feat_fn, {}, cfg, spatial_mesh=mesh).track_masks(
             video, np.zeros((32, 32), np.int32), (32, 32), num_objects=1
         )
+
+
+@pytest.mark.parametrize("impl", ["tiled", "pallas"])
+def test_sp_save_mem_track_masks_matches_single(impl):
+    """save_mem STREAMING VOS propagation under a spatial mesh (backbone
+    replicated in-scan, query rows sharded, rolling key buffer as a
+    mini-bank) reproduces the unsharded streaming scan exactly — uneven
+    row split included (h=16 over 3 devices)."""
+    from fgvc_tpu.models.tracker import Tracker
+
+    mesh = _space_mesh(3)
+    rng = np.random.default_rng(7)
+    T, H, W = 6, 32, 32
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+    mask0 = np.zeros((H, W), np.int32)
+    mask0[4:18, 6:22] = 1
+    mask0[20:30, 2:14] = 2
+
+    cfg = _sp_cfg(save_mem=True, attention_impl=impl)
+    feat_fn = _stride2_backbone(H, W, 4)
+    single = Tracker(feat_fn, {}, cfg).track_masks(
+        video, mask0, (H, W), num_objects=2
+    )
+    sp = Tracker(feat_fn, {}, cfg, spatial_mesh=mesh).track_masks(
+        video, mask0, (H, W), num_objects=2
+    )
+    np.testing.assert_array_equal(sp, single)
+
+
+def test_sp_save_mem_hard_prop_matches_single():
+    """hard_prop re-encoding composes with the sp streaming scan (the
+    rolling value buffer is rebuilt from the GATHERED logits)."""
+    from fgvc_tpu.models.tracker import Tracker
+
+    mesh = _space_mesh(2)
+    rng = np.random.default_rng(8)
+    T, H, W = 5, 32, 32
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+    mask0 = (rng.uniform(size=(H, W)) > 0.5).astype(np.int32)
+
+    cfg = _sp_cfg(save_mem=True, hard_prop=True)
+    feat_fn = _stride2_backbone(H, W, 4)
+    single = Tracker(feat_fn, {}, cfg).track_masks(
+        video, mask0, (H, W), num_objects=1
+    )
+    sp = Tracker(feat_fn, {}, cfg, spatial_mesh=mesh).track_masks(
+        video, mask0, (H, W), num_objects=1
+    )
+    np.testing.assert_array_equal(sp, single)
 
 
 def test_sp_track_masks_and_forward_still_work():
