@@ -233,6 +233,30 @@ def test_vos_multidevice_dp_eval(fixtures):
         assert multi[k] == pytest.approx(single[k], abs=1e-6), k
 
 
+def test_vos_save_mem_spatial_group_eval(fixtures):
+    """save_mem STREAMING VOS through the harness with dp×sp GROUP entries
+    (2 video groups × 2-way row sharding): routes through
+    _scan_propagate_streaming_sp and must score identically to the
+    single-device streaming loop."""
+    import jax
+
+    from fgvc_tpu.apis.test import build_tracker, eval_vos
+    from fgvc_tpu.datasets.davis_vos import DavisVosDataset
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = _small_cfg(
+        "vos", input_size=(32, 32), attention_impl="tiled", save_mem=True
+    )
+    tr = build_tracker(cfg)
+    ds = DavisVosDataset(fixtures["davis"])
+    single = eval_vos(tr, ds)
+    d = jax.devices()
+    grouped = eval_vos(tr, ds, devices=[tuple(d[0:2]), tuple(d[2:4])])
+    for k in single:
+        assert grouped[k] == pytest.approx(single[k], abs=1e-6), k
+
+
 def test_read_ahead_order_and_overlap():
     """_read_ahead yields dataset[i] in id order, and reads index n+1 on a
     worker thread (not the consumer thread)."""
