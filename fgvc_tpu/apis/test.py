@@ -76,6 +76,7 @@ def build_tracker(
     checkpoint: Optional[str] = None,
     seed: int = 0,
     spatial_mesh=None,
+    bank_mesh=None,
     backbone: str = "resnet18_d1",
 ) -> Tracker:
     """Tracker over any zoo encoder (default: the paper's ResNet-18-d1);
@@ -95,7 +96,8 @@ def build_tracker(
         if test_cfg.preprocess != pre:
             test_cfg = dataclasses.replace(test_cfg, preprocess=pre)
         return Tracker(
-            apply_fn, variables, test_cfg, spatial_mesh=spatial_mesh
+            apply_fn, variables, test_cfg,
+            spatial_mesh=spatial_mesh, bank_mesh=bank_mesh,
         )
     model = resnet18_d1()
     if checkpoint and checkpoint.endswith(".pth"):
@@ -117,6 +119,7 @@ def build_tracker(
         variables,
         test_cfg,
         spatial_mesh=spatial_mesh,
+        bank_mesh=bank_mesh,
     )
 
 
@@ -557,6 +560,7 @@ def run_task(
     query_mode: str = "first",
     local_devices: Optional[int] = None,
     spatial_devices: Optional[int] = None,
+    bank_devices: Optional[int] = None,
     backbone: str = "resnet18_d1",
     annotations: Optional[str] = None,
 ) -> Dict[str, float]:
@@ -580,6 +584,11 @@ def run_task(
     pod slice: local_devices GROUPS of spatial_devices chips each — videos
     round-robin over the groups while every group row-shards its video
     (needs local_devices × spatial_devices local devices).
+
+    bank_devices shards the feature BANK's frames over a 'bank' mesh
+    (HBM capacity scaling: banks larger than one chip fit; distributed
+    exact top-k, models/tracker.py _scan_propagate_bank).  Exclusive with
+    the other two axes; attention_impl 'tiled' only.
     """
     from fgvc_tpu.parallel.dist import process_info
 
@@ -612,6 +621,25 @@ def run_task(
             f"{G} video groups × {S}-way row sharding needs {G * S} local "
             f"devices, have {len(jax.local_devices())}"
         )
+    bank_mesh = None
+    if bank_devices and bank_devices > 1:
+        if G > 1 or S > 1 or model == "raft":
+            raise ValueError(
+                "--bank-devices is exclusive with --local-devices/"
+                "--spatial-devices and applies to the label-propagation "
+                "tracker only"
+            )
+        if bank_devices > len(jax.local_devices()):
+            raise ValueError(
+                f"{bank_devices}-way bank sharding needs {bank_devices} "
+                f"local devices, have {len(jax.local_devices())}"
+            )
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        bank_mesh = Mesh(
+            _np.array(jax.local_devices()[:bank_devices]), ("bank",)
+        )
     spatial_mesh = None
     devices = None
     if G == 1 and S > 1:
@@ -636,7 +664,8 @@ def run_task(
         tracker = build_raft_tracker(checkpoint)
     else:
         tracker = build_tracker(
-            cfg, checkpoint, spatial_mesh=spatial_mesh, backbone=backbone
+            cfg, checkpoint, spatial_mesh=spatial_mesh,
+            bank_mesh=bank_mesh, backbone=backbone,
         )
     if task in ("davis", "kinetics"):
         from fgvc_tpu.datasets.tapvid import TapVidDataset

@@ -169,6 +169,16 @@ def main():
              "latency scaling). Combine with --local-devices G for G video "
              "groups × N-way row sharding (needs G*N local devices)",
     )
+    parser.add_argument(
+        "--bank-devices",
+        type=int,
+        default=None,
+        help="bank-parallel propagation: shard the feature bank's FRAMES "
+             "over N local devices (shard_map 'bank' mesh; HBM capacity "
+             "scaling for long videos — distributed exact top-k). "
+             "attention_impl 'tiled' only; exclusive with --spatial-devices "
+             "and --local-devices",
+    )
     args = parser.parse_args()
 
     import dataclasses
@@ -234,6 +244,7 @@ def main():
             query_mode=args.query_mode,
             local_devices=args.local_devices,
             spatial_devices=args.spatial_devices,
+            bank_devices=args.bank_devices,
             backbone=args.backbone,
             annotations=args.annotations,
         )

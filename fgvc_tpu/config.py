@@ -189,6 +189,15 @@ class TrainConfig:
     # by default, ~2^-10 mantissa); 'highest' = full f32 for exactness
     # studies. Eval-path correlations keep their own HIGHEST default.
     matmul_precision: str = "high"
+    # Backbone COMPUTE dtype: 'bfloat16' runs the student/teacher conv
+    # stacks in bf16 (parameters, optimizer state, BatchNorm statistics and
+    # every loss stay float32 — flax param_dtype master weights; loss math
+    # upcasts the features).  The TPU-native equivalent of the reference's
+    # Fp16OptimizerHook AMP mode (opz_hook.py:74-155), except bf16's f32
+    # exponent range makes the loss-scaling dance unnecessary (loss_scale
+    # stays available regardless).  Measured on v5e-1: see
+    # CLAUDE.md "Training-step numbers".
+    compute_dtype: str = "float32"
     # rematerialize backbone activations in the backward pass — trades
     # ~30% step time for activation memory, enabling larger global batches
     # per chip (jax.checkpoint on the student forward)

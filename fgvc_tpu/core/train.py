@@ -111,8 +111,14 @@ class MixedTrainer:
     cfg: TrainConfig
 
     def __post_init__(self):
-        self.backbone = resnet18_d1()
-        self.teacher = resnet18_d1()
+        if self.cfg.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "compute_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.cfg.compute_dtype!r}"
+            )
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        self.backbone = resnet18_d1(dtype=dtype)
+        self.teacher = resnet18_d1(dtype=dtype)
         win2 = (2 * self.cfg.radius + 1) ** 2
         self.corr_disc = GradReverseDiscriminator(feat_dim=win2)
         # feature-level discriminator exists in the reference
@@ -178,7 +184,10 @@ class MixedTrainer:
 
         def run_backbone(frames, stats):
             out, upd = backbone_apply(params["backbone"], stats, frames)
-            return out, upd["batch_stats"]
+            # mixed precision stops at the backbone boundary: losses,
+            # correlation volumes and the discriminators run f32 (the
+            # correlation matmuls additionally honor c.matmul_precision)
+            return out.astype(jnp.float32), upd["batch_stats"]
 
         stats = batch_stats
 
@@ -243,7 +252,7 @@ class MixedTrainer:
         if c.loss_weight_sup > 0:
             teacher_feat = jax.lax.stop_gradient(
                 self.teacher.apply(teacher_vars, imgs_sup[:, 0], train=False)
-            )
+            ).astype(jnp.float32)
             losses["sup_loss"] = (
                 c.loss_weight_sup
                 * supervised_distillation_loss(

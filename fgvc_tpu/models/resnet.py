@@ -33,7 +33,7 @@ ARCH_SETTINGS = {
 }
 
 
-def _conv(features, kernel, stride=1, dilation=1, name=None):
+def _conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -43,17 +43,21 @@ def _conv(features, kernel, stride=1, dilation=1, name=None):
         kernel_dilation=(dilation, dilation),
         use_bias=False,
         name=name,
-        dtype=jnp.float32,
+        dtype=dtype,
     )
 
 
-def _bn(name, axis_name=None):
+def _bn(name, axis_name=None, dtype=jnp.float32):
+    # dtype is the COMPUTE dtype only: flax computes batch statistics in
+    # float32 regardless (normalization._compute_stats upcasts), and the
+    # running stats / scale / bias stay param_dtype float32 — the standard
+    # TPU mixed-precision BN (bf16 activations, f32 statistics/master state)
     return nn.BatchNorm(
         momentum=0.9,  # torch momentum 0.1 == flax momentum 0.9
         epsilon=1e-5,
         name=name,
         axis_name=axis_name,
-        dtype=jnp.float32,
+        dtype=dtype,
     )
 
 
@@ -92,6 +96,7 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
     se_ratio: Optional[int] = None       # SEResNet (seresnet.py:8-56)
     tsm_segments: Optional[int] = None   # ResNetTSM (resnet_tsm.py:40-119)
     tsm_shift_div: int = 8
@@ -106,16 +111,16 @@ class BasicBlock(nn.Module):
             if self.tsm_segments is not None
             else x
         )
-        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv1")(h)
-        out = _bn("bn1", self.axis_name)(out, use_running_average=not train)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv1", dtype=self.dtype)(h)
+        out = _bn("bn1", self.axis_name, dtype=self.dtype)(out, use_running_average=not train)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
-        out = _bn("bn2", self.axis_name)(out, use_running_average=not train)
+        out = _conv(self.planes, 3, 1, self.dilation, name="conv2", dtype=self.dtype)(out)
+        out = _bn("bn2", self.axis_name, dtype=self.dtype)(out, use_running_average=not train)
         if self.se_ratio is not None:
             out = _se_layer(out, self.se_ratio, "se")
         if self.has_downsample:
-            identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
-            identity = _bn("downsample_bn", self.axis_name)(
+            identity = _conv(self.planes, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = _bn("downsample_bn", self.axis_name, dtype=self.dtype)(
                 identity, use_running_average=not train
             )
         return nn.relu(out + identity)
@@ -127,6 +132,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
     expansion: int = 4
     se_ratio: Optional[int] = None
     tsm_segments: Optional[int] = None
@@ -140,22 +146,23 @@ class Bottleneck(nn.Module):
             if self.tsm_segments is not None
             else x
         )
-        out = _conv(self.planes, 1, 1, name="conv1")(h)
-        out = _bn("bn1", self.axis_name)(out, use_running_average=not train)
+        out = _conv(self.planes, 1, 1, name="conv1", dtype=self.dtype)(h)
+        out = _bn("bn1", self.axis_name, dtype=self.dtype)(out, use_running_average=not train)
         out = nn.relu(out)
         # 'pytorch' style: stride on the 3x3 conv.
-        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
-        out = _bn("bn2", self.axis_name)(out, use_running_average=not train)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2", dtype=self.dtype)(out)
+        out = _bn("bn2", self.axis_name, dtype=self.dtype)(out, use_running_average=not train)
         out = nn.relu(out)
-        out = _conv(self.planes * self.expansion, 1, 1, name="conv3")(out)
-        out = _bn("bn3", self.axis_name)(out, use_running_average=not train)
+        out = _conv(self.planes * self.expansion, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = _bn("bn3", self.axis_name, dtype=self.dtype)(out, use_running_average=not train)
         if self.se_ratio is not None:
             out = _se_layer(out, self.se_ratio, "se")
         if self.has_downsample:
             identity = _conv(
-                self.planes * self.expansion, 1, self.stride, name="downsample_conv"
+                self.planes * self.expansion, 1, self.stride,
+                name="downsample_conv", dtype=self.dtype,
             )(x)
-            identity = _bn("downsample_bn", self.axis_name)(
+            identity = _bn("downsample_bn", self.axis_name, dtype=self.dtype)(
                 identity, use_running_average=not train
             )
         return nn.relu(out + identity)
@@ -177,6 +184,11 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (3,)
     pool_type: str = "max"
     axis_name: Optional[str] = None
+    # Compute dtype (mixed precision): parameters and BN statistics stay
+    # float32 (param_dtype); jnp.bfloat16 halves activation HBM traffic —
+    # the TPU equivalent of the reference's Fp16OptimizerHook AMP mode
+    # (/root/reference/mmpt/core/optimizer/opz_hook.py:74).
+    dtype: Any = jnp.float32
     se_ratio: Optional[int] = None       # SEResNet variant
     tsm_segments: Optional[int] = None   # ResNetTSM variant
     tsm_shift_div: int = 8
@@ -186,8 +198,8 @@ class ResNet(nn.Module):
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         expansion = 1 if block_kind == "basic" else 4
 
-        x = _conv(64, 7, 2, name="conv1")(x)
-        x = _bn("bn1", self.axis_name)(x, use_running_average=not train)
+        x = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x)
+        x = _bn("bn1", self.axis_name, dtype=self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         if self.pool_type == "max":
             x = nn.max_pool(
@@ -214,6 +226,7 @@ class ResNet(nn.Module):
                     dilation=self.dilations[i],
                     has_downsample=has_ds,
                     axis_name=self.axis_name,
+                    dtype=self.dtype,
                     se_ratio=self.se_ratio,
                     tsm_segments=self.tsm_segments,
                     tsm_shift_div=self.tsm_shift_div,
@@ -228,11 +241,14 @@ class ResNet(nn.Module):
         return tuple(outs)
 
 
-def resnet18_d1(axis_name: Optional[str] = None) -> ResNet:
+def resnet18_d1(
+    axis_name: Optional[str] = None, dtype: Any = jnp.float32
+) -> ResNet:
     """The configuration used by every shipped FGVC recipe: stride-2 features.
 
     ResNet(depth=18, strides=(1,1,1,4), out_indices=(2,), pool_type='none')
-    (/root/reference/configs/eval/res18_d1_eval.py:8).
+    (/root/reference/configs/eval/res18_d1_eval.py:8).  `dtype` is the
+    compute dtype (params/BN stats stay f32); see ResNet.dtype.
     """
     return ResNet(
         depth=18,
@@ -240,6 +256,7 @@ def resnet18_d1(axis_name: Optional[str] = None) -> ResNet:
         out_indices=(2,),
         pool_type="none",
         axis_name=axis_name,
+        dtype=dtype,
     )
 
 

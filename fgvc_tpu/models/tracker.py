@@ -88,6 +88,7 @@ class Tracker:
         variables,
         test_cfg: TestConfig,
         spatial_mesh=None,
+        bank_mesh=None,
     ):
         self.apply_fn = apply_fn
         self.variables = variables
@@ -113,6 +114,37 @@ class Tracker:
         # buffer — single-video latency scales with the mesh instead of
         # only video-throughput (the --local-devices round-robin)
         self.spatial_mesh = spatial_mesh
+        # bank-parallel propagation: a 1-axis jax.sharding.Mesh named
+        # 'bank'; the feature bank's FRAMES are sharded over it (shard_map)
+        # so banks larger than one chip's HBM fit — a distributed exact
+        # top-k (local top-k lists → all_gather merge → psum'd partial
+        # softmax mix) keeps the propagation semantics (see
+        # ops/windowed_attention.py masked_topk_attention_tiled_bank_sharded)
+        self.bank_mesh = bank_mesh
+        if spatial_mesh is not None and bank_mesh is not None:
+            raise ValueError(
+                "spatial_mesh and bank_mesh are separate scaling axes; "
+                "pass at most one (composition is not implemented)"
+            )
+        if bank_mesh is not None:
+            if "bank" not in bank_mesh.axis_names:
+                raise ValueError("bank_mesh needs an axis named 'bank'")
+            if test_cfg.attention_impl != "tiled":
+                raise ValueError(
+                    "bank-parallel propagation supports attention_impl "
+                    f"'tiled', not {test_cfg.attention_impl!r}"
+                )
+            if test_cfg.topk is None:
+                raise ValueError("bank-parallel propagation requires topk")
+            if not test_cfg.with_first_neighbor:
+                raise ValueError(
+                    "bank-parallel propagation requires with_first_neighbor"
+                )
+            if test_cfg.save_mem:
+                raise ValueError(
+                    "bank_mesh shards the feature BANK; save_mem streaming "
+                    "keeps no bank (use spatial_mesh there instead)"
+                )
         self._extract = jax.jit(self._extract_impl, static_argnames=("chunk",))
         self._propagate = jax.jit(
             self._propagate_impl, static_argnames=("full_hw", "mask_shape")
@@ -135,11 +167,12 @@ class Tracker:
         """Replicated placement over the spatial mesh (None without one) —
         inputs entering the sharded propagation must live on the mesh, not
         committed to a single device."""
-        if self.spatial_mesh is None:
+        mesh = self.spatial_mesh if self.spatial_mesh is not None else self.bank_mesh
+        if mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec
 
-        return NamedSharding(self.spatial_mesh, PartitionSpec())
+        return NamedSharding(mesh, PartitionSpec())
 
     # ------------------------------------------------------------------ #
     # feature extraction
@@ -395,6 +428,10 @@ class Tracker:
         """
         if self.spatial_mesh is not None:
             return self._scan_propagate_sp(feats, first_value, mask_shape, emit)
+        if self.bank_mesh is not None:
+            return self._scan_propagate_bank(
+                feats, first_value, mask_shape, emit
+            )
         cfg = self.cfg
         T, h, w, C = feats.shape
         non_mask_len = 0 if cfg.with_first_neighbor else 1
@@ -712,6 +749,102 @@ class Tracker:
             check_vma=False,
         )
         return sharded(bank_pad, first_value, row0s)
+
+    def _scan_propagate_bank(self, feats, first_value, mask_shape, emit):
+        """Bank-parallel (memory-parallel) propagation over `self.bank_mesh`.
+
+        The capacity-scaling mode: the normalized+padded feature bank is
+        sharded over the mesh's 'bank' axis on its FRAME dim, so the
+        propagation's dominant HBM resident (e.g. ~5 GB for a 250-frame
+        Kinetics bank, growing linearly with video length) splits across
+        devices instead of replicating — videos whose bank exceeds one
+        chip's HBM become trackable.  Each step reconstructs the exact
+        top-k + softmax mix with three small per-tile ICI collectives
+        (local top-k all_gather merge + two psums; see
+        ops/windowed_attention.py masked_topk_attention_tiled_bank_sharded)
+        plus one psum to fetch the query frame from its owner shard.  The
+        rolling window VALUE buffer (precede_frames+1 maps) is tiny and
+        stays replicated.  The reference has no counterpart (single-GPU
+        banks only, vanilla_tracker.py forward_test).  Results match the
+        unsharded scan to partial-sum reassociation
+        (tests/test_bank_parallel.py).
+        """
+        cfg = self.cfg
+        mesh = self.bank_mesh
+        n = int(np.prod(mesh.devices.shape))
+        T, h, w, C = feats.shape
+        radius = cfg.neighbor_range // 2
+        halo = int(radius)
+
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PSpec
+
+        from fgvc_tpu.ops.windowed_attention import (
+            masked_topk_attention_tiled_bank_sharded,
+        )
+
+        bank_pad, _, _ = self._build_bank(feats)
+        Tl = -(-T // n)  # frames per shard
+        bank_pad = jnp.pad(
+            bank_pad, ((0, Tl * n - T), (0, 0), (0, 0), (0, 0))
+        )
+        # keep the bank SHARDED from construction on — the whole point is
+        # that no device ever holds all T frames
+        bank_pad = jax.lax.with_sharding_constraint(
+            bank_pad, NamedSharding(mesh, PSpec("bank"))
+        )
+
+        def run(bank_shard, first_value):
+            lo = jax.lax.axis_index("bank") * Tl
+
+            def step(value_buf, t):
+                idx, key_valid = self._window_indices(t, T)
+                values = jnp.concatenate(
+                    [first_value[None], value_buf], axis=0
+                )
+                # query frame t lives on one shard: owner-select + psum
+                lt = jnp.clip(t - lo, 0, Tl - 1)
+                q_loc = jax.lax.dynamic_slice(
+                    bank_shard, (lt, halo, halo, 0), (1, h, w, C)
+                )[0]
+                owns_t = (t >= lo) & (t < lo + Tl)
+                query = jax.lax.psum(
+                    jnp.where(owns_t, q_loc, 0.0), "bank"
+                )
+                seg = masked_topk_attention_tiled_bank_sharded(
+                    query,
+                    bank_shard,
+                    values,
+                    frame_idx=idx,
+                    shard_lo=lo,
+                    axis_name="bank",
+                    radius=float(radius),
+                    temperature=cfg.temperature,
+                    topk=cfg.topk,
+                    tile=cfg.tile,
+                    mask_shape=mask_shape,
+                    key_valid=key_valid,
+                    precision=cfg.matmul_precision,
+                )
+                new_buf = jnp.concatenate(
+                    [value_buf[1:], self._bank_entry(seg)[None]], axis=0
+                )
+                return new_buf, emit(seg)
+
+            init_buf = jnp.tile(
+                first_value[None], (cfg.precede_frames, 1, 1, 1)
+            )
+            _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
+            return outs
+
+        sharded = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(PSpec("bank"), PSpec()),
+            out_specs=PSpec(),
+            check_vma=False,
+        )
+        return sharded(bank_pad, first_value)
 
     def _propagate_impl(
         self,

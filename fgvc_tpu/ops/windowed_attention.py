@@ -314,6 +314,166 @@ def masked_topk_attention_tiled(
     return out.reshape(Hp, Wp, Cv)[:H, :W]
 
 
+def masked_topk_attention_tiled_bank_sharded(
+    query: jax.Array,
+    bank_shard: jax.Array,
+    value: jax.Array,
+    *,
+    frame_idx: jax.Array,
+    shard_lo: jax.Array,
+    axis_name: str = "bank",
+    radius: float,
+    temperature: float = 1.0,
+    topk: int = 10,
+    tile: int = 32,
+    mask_shape: str = "circle",
+    key_valid: Optional[jax.Array] = None,
+    precision: str = "highest",
+) -> jax.Array:
+    """Bank-SHARDED windowed top-k attention — distributed exact top-k.
+
+    Memory-parallel counterpart of `masked_topk_attention_tiled`'s bank
+    mode for banks too large for one chip's HBM: the padded feature bank
+    is sharded over a mesh axis (`axis_name`) on its FRAME dim, and the
+    exact top-k + softmax value mix is reconstructed with three small
+    collectives per query tile:
+
+      1. each device computes affinities only for the window slots its
+         shard owns (others are -inf) and takes its LOCAL top-k values,
+      2. an `all_gather` of the (S, k) local top-k lists merges them into
+         the GLOBAL top-k (the global top-k of a union is contained in
+         the union of per-shard top-ks),
+      3. every device mixes its local values with the global-threshold
+         softmax weights (same tie-split semantics as
+         `_gather_free_value_matmul`, with the tie COUNT `psum`-ed so the
+         fractional split is global), and a `psum` sums the partial
+         numerators.
+
+    The softmax normalizer comes from the gathered global top-k values
+    alone, so the result equals the single-device kernel up to partial-sum
+    reassociation (verified ≲1e-5 in tests/test_bank_parallel.py; top-k
+    SELECTION is bitwise identical).
+
+    Must be called inside `shard_map` over a mesh with axis `axis_name`.
+    The reference has no counterpart — its banks are single-GPU resident
+    (/root/reference/mmpt/models/trackers/vanilla_tracker.py forward_test
+    keeps the whole feature history on one device).
+
+    Args:
+      query: (H, W, C) full query frame, PRE-NORMALIZED, replicated.
+      bank_shard: (Tl, gridH + 2·halo, Wp + 2·halo, C) this device's
+        contiguous frame shard of the pad_key_bank() output.
+      value: (Twin, H, W, Cv) replicated window value maps (slot order
+        matches `frame_idx`).
+      frame_idx: (Twin,) GLOBAL bank indices of the window slots.
+      shard_lo: traced scalar — global index of bank_shard[0]
+        (axis_index * Tl at the call site).
+      key_valid: (Twin,) bool — invalid slots contribute nothing.
+      topk: required (the distributed merge is what this op is for).
+
+    Returns: (H, W, Cv) propagated values, replicated across the axis.
+    """
+    if topk is None:
+        raise ValueError("bank-sharded attention requires topk")
+    H, W, C = query.shape
+    Tl = bank_shard.shape[0]
+    Twin = value.shape[0]
+    Cv = value.shape[-1]
+    prec = _PRECISIONS[precision]
+
+    halo = int(radius)
+    win = tile + 2 * halo
+    S = tile * tile
+    K = Twin * win * win
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    nth, ntw = Hp // tile, Wp // tile
+
+    qpad = jnp.pad(query, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    vpad = jnp.pad(
+        value, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
+    )
+
+    owns = (frame_idx >= shard_lo) & (frame_idx < shard_lo + Tl)
+    lidx = jnp.clip(frame_idx - shard_lo, 0, Tl - 1).astype(jnp.int32)
+    valid = owns if key_valid is None else (owns & key_valid)
+    ninf = jnp.float32(-jnp.inf)
+    frame_bias = jnp.where(valid, 0.0, ninf)  # (Twin,)
+
+    qi = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0).reshape(-1)
+    qj = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1).reshape(-1)
+    ki = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0).reshape(-1)
+    kj = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1).reshape(-1)
+    dy = jnp.abs(ki[None, :] - halo - qi[:, None])
+    dx = jnp.abs(kj[None, :] - halo - qj[:, None])
+    if mask_shape == "circle":
+        circle = dy * dy + dx * dx < radius * radius  # (S, win²)
+    else:
+        circle = (dy <= radius) & (dx <= radius)
+
+    def tile_fn(_, t_idx):
+        tr = (t_idx // ntw) * tile
+        tc = (t_idx % ntw) * tile
+        q_t = jax.lax.dynamic_slice(qpad, (tr, tc, 0), (tile, tile, C))
+        k_t = jax.vmap(
+            lambda fi: jax.lax.dynamic_slice(
+                bank_shard, (fi, tr, tc, 0), (1, win, win, C)
+            )[0]
+        )(lidx)
+        v_t = jax.lax.dynamic_slice(vpad, (0, tr, tc, 0), (Twin, win, win, Cv))
+
+        aff = (
+            jnp.einsum(
+                "sc,kc->sk",
+                q_t.reshape(S, C),
+                k_t.reshape(K, C),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            / temperature
+        )  # (S, K)
+
+        kgi = tr + ki - halo
+        kgj = tc + kj - halo
+        in_bounds = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
+        allowed = circle & in_bounds[None, :]  # (S, win²)
+        bias = jnp.where(allowed[:, None, :], 0.0, ninf) + frame_bias[
+            None, :, None
+        ]
+        aff = aff + bias.reshape(S, K)
+
+        # --- distributed exact top-k merge over the bank axis ---
+        w_loc = jax.lax.top_k(aff, topk)[0]  # (S, k) local
+        w_all = jax.lax.all_gather(w_loc, axis_name)  # (n, S, k)
+        w10 = jax.lax.top_k(
+            jnp.moveaxis(w_all, 0, 1).reshape(S, -1), topk
+        )[0]  # (S, k) GLOBAL — identical on every device
+
+        m = jnp.maximum(jnp.max(w10, -1, keepdims=True), -1e30)
+        thresh = jnp.maximum(jnp.min(w10, -1, keepdims=True), -1e30)
+        z = jnp.sum(jnp.exp(w10 - m), axis=-1, keepdims=True) + 1e-30
+        above = (aff > thresh).astype(jnp.float32)
+        at = (aff == thresh).astype(jnp.float32)
+        n_at = jax.lax.psum(
+            jnp.sum(at, axis=-1, keepdims=True), axis_name
+        )  # global tie count at the threshold
+        n_sel = jnp.sum((w10 == thresh).astype(jnp.float32), -1, keepdims=True)
+        tie_frac = jnp.where(n_at > 0, n_sel / jnp.maximum(n_at, 1.0), 0.0)
+        weights = jnp.exp(aff - m) * (above + tie_frac * at) / z
+        part = jnp.einsum(
+            "sk,kc->sc",
+            weights,
+            v_t.reshape(K, Cv),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        return None, jax.lax.psum(part, axis_name)  # (S, Cv)
+
+    _, outs = jax.lax.scan(tile_fn, None, jnp.arange(nth * ntw))
+    out = outs.reshape(nth, ntw, tile, tile, Cv).transpose(0, 2, 1, 3, 4)
+    return out.reshape(Hp, Wp, Cv)[:H, :W]
+
+
 def pad_key_bank(
     bank: jax.Array,
     radius: float,

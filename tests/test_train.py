@@ -555,3 +555,53 @@ def test_fused_encoder_mode():
     for k in ("l1_loss", "sup_loss", "corr_da_loss"):
         a, b = results[False][k], results[True][k]
         assert abs(a - b) / max(abs(a), 1e-6) < 0.5, (k, a, b)
+
+
+def test_bfloat16_compute_dtype_matches_f32_closely():
+    """compute_dtype='bfloat16' (mixed precision: bf16 conv stacks, f32
+    params/optimizer/BN stats/losses) must keep master state f32 and land
+    every loss within ~1% of the full-f32 step at a fresh init."""
+    import dataclasses
+
+    import jax
+
+    from fgvc_tpu.config import TrainConfig
+    from fgvc_tpu.core.train import MixedTrainer
+
+    rng = np.random.default_rng(12)
+    batch = {
+        "imgs": rng.standard_normal((2, 2, 16, 16, 3)).astype(np.float32),
+        "imgs_sup": rng.standard_normal((2, 2, 16, 16, 3)).astype(np.float32),
+        "flow": rng.standard_normal((2, 16, 16, 2)).astype(np.float32),
+        "flow_back": rng.standard_normal((2, 16, 16, 2)).astype(np.float32),
+    }
+    results = {}
+    for cd in ("float32", "bfloat16"):
+        cfg = TrainConfig(
+            radius=2, crop_size=16, batch_size=2, compute_dtype=cd
+        )
+        trainer = MixedTrainer(cfg)
+        state, teacher_vars, tx = trainer.init(jax.random.PRNGKey(0), 10)
+        # master weights and BN statistics stay float32 regardless
+        for leaf in jax.tree_util.tree_leaves(
+            (state.params, state.batch_stats)
+        ):
+            assert leaf.dtype == np.float32, (cd, leaf.dtype)
+        step_fn = trainer.make_train_step(tx)
+        new_state, losses = step_fn(
+            state, teacher_vars, batch, jax.random.PRNGKey(1)
+        )
+        losses = {k: float(v) for k, v in losses.items()}
+        assert all(np.isfinite(v) for v in losses.values()), losses
+        # updated state stays f32 too (no dtype drift through the step)
+        for leaf in jax.tree_util.tree_leaves(
+            (new_state.params, new_state.batch_stats)
+        ):
+            assert leaf.dtype == np.float32, (cd, leaf.dtype)
+        results[cd] = losses
+    for k in ("l1_loss", "sup_loss", "corr_da_loss", "loss"):
+        a, b = results["float32"][k], results["bfloat16"][k]
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.01, (k, a, b)
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        MixedTrainer(TrainConfig(compute_dtype="float16"))
