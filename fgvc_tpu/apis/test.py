@@ -634,6 +634,14 @@ def run_task(
                 f"{bank_devices}-way bank sharding needs {bank_devices} "
                 f"local devices, have {len(jax.local_devices())}"
             )
+        if cfg.attention_impl != "tiled":
+            # fail here with the flag to flip, not later from the Tracker
+            # constructor (the task defaults say attention_impl='pallas')
+            raise ValueError(
+                "--bank-devices needs the tiled attention kernel; pass "
+                "--attention-impl tiled (bank sharding is implemented for "
+                f"attention_impl='tiled', config says {cfg.attention_impl!r})"
+            )
         import numpy as _np
         from jax.sharding import Mesh
 

@@ -147,10 +147,12 @@ class Tracker:
                 )
         self._extract = jax.jit(self._extract_impl, static_argnames=("chunk",))
         self._propagate = jax.jit(
-            self._propagate_impl, static_argnames=("full_hw", "mask_shape")
+            self._propagate_impl,
+            static_argnames=("full_hw", "mask_shape", "length"),
         )
         self._propagate_m = jax.jit(
-            self._propagate_masks_impl, static_argnames=("full_hw", "mask_shape")
+            self._propagate_masks_impl,
+            static_argnames=("full_hw", "mask_shape", "length"),
         )
         self._propagate_m_stream = jax.jit(
             self._propagate_masks_stream_impl,
@@ -416,22 +418,33 @@ class Tracker:
             )
         return bank_pad, tile, None
 
-    def _scan_propagate(self, feats, first_value, mask_shape, emit):
+    def _scan_propagate(
+        self, feats, first_value, mask_shape, emit, t0=None, length=None
+    ):
         """Shared scan over frames 1..T-1.
 
         emit(seg_logit (h, w, P)) -> per-frame output pytree.
+
+        `t0`/`length` are bank-mesh-only: the frame-sharded bank arrives
+        UNSLICED and the bank scan addresses frames globally (slicing the
+        sharded axis would gather a full copy per device).  The unsharded
+        and spatial paths receive a pre-sliced feats and must not pass
+        them.
 
         Default (tiled) path runs in BANK mode: the feature bank is
         normalized + halo-padded ONCE and each step's key-frame halos are
         sliced per tile straight from it — no per-step 6-frame key
         pad/concat/gather copies (~300 MB/frame of HBM traffic removed).
         """
-        if self.spatial_mesh is not None:
-            return self._scan_propagate_sp(feats, first_value, mask_shape, emit)
         if self.bank_mesh is not None:
             return self._scan_propagate_bank(
-                feats, first_value, mask_shape, emit
+                feats, first_value, mask_shape, emit, t0=t0, length=length
             )
+        assert t0 is None and length is None, (
+            "t0/length are only meaningful for the bank-sharded scan"
+        )
+        if self.spatial_mesh is not None:
+            return self._scan_propagate_sp(feats, first_value, mask_shape, emit)
         cfg = self.cfg
         T, h, w, C = feats.shape
         non_mask_len = 0 if cfg.with_first_neighbor else 1
@@ -750,7 +763,9 @@ class Tracker:
         )
         return sharded(bank_pad, first_value, row0s)
 
-    def _scan_propagate_bank(self, feats, first_value, mask_shape, emit):
+    def _scan_propagate_bank(
+        self, feats, first_value, mask_shape, emit, t0=None, length=None
+    ):
         """Bank-parallel (memory-parallel) propagation over `self.bank_mesh`.
 
         The capacity-scaling mode: the normalized+padded feature bank is
@@ -758,21 +773,30 @@ class Tracker:
         propagation's dominant HBM resident (e.g. ~5 GB for a 250-frame
         Kinetics bank, growing linearly with video length) splits across
         devices instead of replicating — videos whose bank exceeds one
-        chip's HBM become trackable.  Each step reconstructs the exact
-        top-k + softmax mix with three small per-tile ICI collectives
-        (local top-k all_gather merge + two psums; see
-        ops/windowed_attention.py masked_topk_attention_tiled_bank_sharded)
-        plus one psum to fetch the query frame from its owner shard.  The
-        rolling window VALUE buffer (precede_frames+1 maps) is tiny and
-        stays replicated.  The reference has no counterpart (single-GPU
-        banks only, vanilla_tracker.py forward_test).  Results match the
-        unsharded scan to partial-sum reassociation
-        (tests/test_bank_parallel.py).
+        chip's HBM become trackable (features are extracted ALREADY
+        frame-sharded, _features_padded_bank; no device ever materializes
+        the full bank).  Each step reconstructs the exact top-k + softmax
+        mix with three small per-tile ICI collectives (local top-k
+        all_gather merge + two psums; see ops/windowed_attention.py
+        masked_topk_attention_tiled_bank_sharded) plus one psum to fetch
+        the query frame from its owner shard.  The rolling window VALUE
+        buffer (precede_frames+1 maps) is tiny and stays replicated.
+
+        `t0`/`length` run a query group starting at GLOBAL frame t0 of the
+        full sharded bank — callers must NOT pre-slice the bank on its
+        sharded frame axis (a traced-start dynamic_slice there would gather
+        a full copy per device, defeating the capacity point); the scan
+        instead addresses frames globally and owner-selects.  The reference
+        has no counterpart (single-GPU banks only, vanilla_tracker.py
+        forward_test).  Results match the unsharded scan to partial-sum
+        reassociation (tests/test_bank_parallel.py).
         """
         cfg = self.cfg
         mesh = self.bank_mesh
         n = int(np.prod(mesh.devices.shape))
         T, h, w, C = feats.shape
+        L = int(length) if length is not None else T
+        t0 = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
         radius = cfg.neighbor_range // 2
         halo = int(radius)
 
@@ -794,20 +818,24 @@ class Tracker:
             bank_pad, NamedSharding(mesh, PSpec("bank"))
         )
 
-        def run(bank_shard, first_value):
+        def run(bank_shard, first_value, t0):
             lo = jax.lax.axis_index("bank") * Tl
 
             def step(value_buf, t):
-                idx, key_valid = self._window_indices(t, T)
+                # t is the offset within the group; frames are addressed
+                # globally as t0 + offset on the sharded bank
+                idx, key_valid = self._window_indices(t, L)
+                gidx = idx + t0
                 values = jnp.concatenate(
                     [first_value[None], value_buf], axis=0
                 )
-                # query frame t lives on one shard: owner-select + psum
-                lt = jnp.clip(t - lo, 0, Tl - 1)
+                # query frame lives on one shard: owner-select + psum
+                g = t0 + t
+                lt = jnp.clip(g - lo, 0, Tl - 1)
                 q_loc = jax.lax.dynamic_slice(
                     bank_shard, (lt, halo, halo, 0), (1, h, w, C)
                 )[0]
-                owns_t = (t >= lo) & (t < lo + Tl)
+                owns_t = (g >= lo) & (g < lo + Tl)
                 query = jax.lax.psum(
                     jnp.where(owns_t, q_loc, 0.0), "bank"
                 )
@@ -815,7 +843,7 @@ class Tracker:
                     query,
                     bank_shard,
                     values,
-                    frame_idx=idx,
+                    frame_idx=gidx,
                     shard_lo=lo,
                     axis_name="bank",
                     radius=float(radius),
@@ -834,17 +862,17 @@ class Tracker:
             init_buf = jnp.tile(
                 first_value[None], (cfg.precede_frames, 1, 1, 1)
             )
-            _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
+            _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, L))
             return outs
 
         sharded = jax.shard_map(
             run,
             mesh=mesh,
-            in_specs=(PSpec("bank"), PSpec()),
+            in_specs=(PSpec("bank"), PSpec(), PSpec()),
             out_specs=PSpec(),
             check_vma=False,
         )
-        return sharded(bank_pad, first_value)
+        return sharded(bank_pad, first_value, t0)
 
     def _propagate_impl(
         self,
@@ -852,6 +880,8 @@ class Tracker:
         init_maps: jax.Array,   # (P, h, w) value maps at feature resolution
         full_hw: Tuple[int, int],
         mask_shape: str = "circle",
+        t0=None,                # bank mesh only: global query-frame index
+        length: Optional[int] = None,  # bank mesh only: static group length
     ) -> jax.Array:
         """Scan label propagation; returns (T, P, 3) per-frame
         (x, y, peak): coords decoded at full_hw resolution plus the
@@ -859,7 +889,11 @@ class Tracker:
         reduction over the propagated logits; see
         TestConfig.visibility_mode).  Index 0 is the feature-res decode of
         init_maps (callers overwrite its coords with their reference-res
-        decode; its peak is the per-point confidence denominator)."""
+        decode; its peak is the per-point confidence denominator).
+
+        Under a bank mesh, `feats` is the FULL frame-sharded bank and
+        `t0`/`length` select the query group (see _scan_propagate_bank);
+        returns `length` rows."""
         H_full, W_full = full_hw
         P = init_maps.shape[0]
         first_value = jnp.transpose(init_maps, (1, 2, 0))  # (h, w, P)
@@ -885,7 +919,9 @@ class Tracker:
                 )
             return jnp.concatenate([coords, peak[:, None]], axis=-1)
 
-        coords = self._scan_propagate(feats, first_value, mask_shape, decode)
+        coords = self._scan_propagate(
+            feats, first_value, mask_shape, decode, t0=t0, length=length
+        )
         coords0 = decode(first_value)
         return jnp.concatenate([coords0[None], coords], axis=0)  # (T, P, 3)
 
@@ -1150,8 +1186,12 @@ class Tracker:
         init_onehot: jax.Array, # (h, w, K) one-hot masks at feature res
         full_hw: Tuple[int, int],
         mask_shape: str = "circle",
+        length: Optional[int] = None,  # bank mesh only: static video length
     ) -> jax.Array:
-        """VOS propagation; returns (T, H, W) int32 label maps (argmax)."""
+        """VOS propagation; returns (T, H, W) int32 label maps (argmax).
+
+        Under a bank mesh, `feats` is the FULL frame-sharded bank and
+        `length` bounds the propagation (no slicing on the sharded axis)."""
         H_full, W_full = full_hw
         K = init_onehot.shape[-1]
 
@@ -1161,7 +1201,9 @@ class Tracker:
             )
             return jnp.argmax(up, axis=-1).astype(jnp.int32)
 
-        masks = self._scan_propagate(feats, init_onehot, mask_shape, decode)
+        masks = self._scan_propagate(
+            feats, init_onehot, mask_shape, decode, length=length
+        )
         return jnp.concatenate([decode(init_onehot)[None], masks], axis=0)
 
     def _track_group_impl(
@@ -1184,8 +1226,16 @@ class Tracker:
         init_maps = draw_gaussian_maps(pts, H, W, sigma=cfg.sigma, stride=stride)
         init_maps = init_maps * valid[:, None, None].astype(init_maps.dtype)
 
-        feats_g = jax.lax.dynamic_slice_in_dim(feats, t0, length, axis=0)
-        coords = self._propagate_impl(feats_g, init_maps, full_hw)
+        if self.bank_mesh is not None:
+            # never slice the frame-sharded bank (a traced-start
+            # dynamic_slice would gather a full copy per device); the bank
+            # scan addresses frames globally from t0
+            coords = self._propagate_impl(
+                feats, init_maps, full_hw, t0=t0, length=length
+            )
+        else:
+            feats_g = jax.lax.dynamic_slice_in_dim(feats, t0, length, axis=0)
+            coords = self._propagate_impl(feats_g, init_maps, full_hw)
 
         # frame 0 decodes from the FULL-res gaussian (the reference's
         # seg_preds[0]), masked to (-1, -1) for padded points; its peak
@@ -1421,13 +1471,22 @@ class Tracker:
         resized = jnp.pad(resized, ((0, 0), (0, 0), (0, p_pad - P)))
 
         L_pad = _bucket(T, cfg.frame_bucket)
-        feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
-        coords = self._propagate(
-            feats_g,
-            jnp.transpose(resized, (2, 0, 1)),
-            decode_hw,
-            mask_shape="square",
-        )
+        if self.bank_mesh is not None:
+            coords = self._propagate(
+                feats,
+                jnp.transpose(resized, (2, 0, 1)),
+                decode_hw,
+                mask_shape="square",
+                length=L_pad,
+            )
+        else:
+            feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
+            coords = self._propagate(
+                feats_g,
+                jnp.transpose(resized, (2, 0, 1)),
+                decode_hw,
+                mask_shape="square",
+            )
         # frame 0: decode from the original reference maps at decode_hw
         ref_up = jax.image.resize(maps, (*decode_hw, P), method="bilinear")
         coords0 = soft_argmax_topk(jnp.transpose(ref_up, (2, 0, 1)), topk=5)
@@ -1525,6 +1584,10 @@ class Tracker:
             masks = self._propagate_m_stream(
                 put(video_p), onehot, decode_hw, mask_shape="square"
             )
+        elif self.bank_mesh is not None:
+            masks = self._propagate_m(
+                feats, onehot, decode_hw, mask_shape="square", length=L_pad
+            )
         else:
             feats_g = jax.lax.dynamic_slice_in_dim(feats, 0, L_pad, axis=0)
             masks = self._propagate_m(
@@ -1580,6 +1643,13 @@ class Tracker:
         def put(x):
             return _put(x, device)
 
+        if (
+            self.bank_mesh is not None
+            and device is None
+            and isinstance(video, np.ndarray)
+        ):
+            return self._features_padded_bank(video, T, t_pad)
+
         upload = put
         sp = self._sp_sharding()
         CH = 16
@@ -1620,3 +1690,72 @@ class Tracker:
             # propagation sees mesh-placed operands, not a device-0 commit
             feats = jax.device_put(feats, sp)
         return feats
+
+    def _features_padded_bank(self, video: np.ndarray, T: int, t_pad: int):
+        """Frame-SHARDED feature extraction for bank-parallel mode.
+
+        The capacity point of bank_mesh is that no device ever holds the
+        full (T, h, w, C) bank — so the bank must be born sharded, not
+        extracted replicated and resharded (which would put one full copy
+        on the default device first, the exact OOM the mode exists to
+        avoid).  Each mesh device extracts only its contiguous frame block
+        (video chunks uploaded pinned to that device, the backbone runs
+        where its input lives), and the global bank is assembled zero-copy
+        via make_array_from_single_device_arrays with a PSpec('bank')
+        frame sharding.  Per-device HBM high-water = one shard + one
+        16-frame upload chunk.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = self.bank_mesh
+        devs = list(mesh.devices.flatten())
+        n = len(devs)
+        t_pad = -(-t_pad // n) * n  # even shards: no in-scan re-pad/reshard
+        Ts = t_pad // n
+        CH = 16
+        parts = []
+        feat_shape = None
+        for i, dev in enumerate(devs):
+            lo = i * Ts
+            n_real = min(max(T - lo, 0), Ts)
+            if n_real > 0:
+                block = video[lo : lo + n_real]
+                if n_real > CH:
+                    m = -(-n_real // CH)
+                    block_p = np.concatenate(
+                        [
+                            block,
+                            np.zeros(
+                                (m * CH - n_real, *block.shape[1:]),
+                                block.dtype,
+                            ),
+                        ]
+                    )
+                    chunks = [
+                        self._extract(
+                            jax.device_put(
+                                block_p[j * CH : (j + 1) * CH], dev
+                            )
+                        )
+                        for j in range(m)
+                    ]
+                    fi = jnp.concatenate(chunks, axis=0)[:n_real]
+                else:
+                    fi = self._extract(jax.device_put(block, dev))
+                fi = jnp.pad(
+                    fi, ((0, Ts - n_real), (0, 0), (0, 0), (0, 0))
+                )
+                feat_shape = fi.shape[1:]
+                feat_dtype = fi.dtype
+            else:
+                # shard beyond the video: zeros, moved device-to-device
+                # (ICI) rather than re-uploaded through the host link
+                fi = jax.device_put(
+                    jnp.zeros((Ts, *feat_shape), feat_dtype), dev
+                )
+            parts.append(fi)
+        return jax.make_array_from_single_device_arrays(
+            (t_pad, *feat_shape),
+            NamedSharding(mesh, PartitionSpec("bank")),
+            parts,
+        )

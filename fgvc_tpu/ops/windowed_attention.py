@@ -68,6 +68,88 @@ def _gather_free_value_matmul(aff, w10, v_flat, prec):
     )
 
 
+class _TileGeometry:
+    """Shared query-tile geometry for the windowed kernels — ONE definition
+    of the tile/halo padding, the static circle/square window mask, the
+    per-tile in-bounds bias, and the output un-tiling, used by both
+    `masked_topk_attention_tiled` and its bank-sharded twin so that mask or
+    bounds fixes cannot silently drift between them.
+
+    `fullH` is the full query-grid height when the query is a row BLOCK of
+    it (spatial-parallel mode); `grid_rows` over-pads the key/value row
+    extent across all blocks.  For a whole-grid query both default to H.
+    """
+
+    def __init__(self, H, W, tile, radius, mask_shape,
+                 full_h=None, grid_rows=None):
+        self.H, self.W, self.tile, self.radius = H, W, tile, radius
+        self.halo = int(radius)
+        self.win = tile + 2 * self.halo
+        self.S = tile * tile
+        self.fullH = H if full_h is None else full_h
+        self.Hp = -(-H // tile) * tile
+        self.Wp = -(-W // tile) * tile
+        self.gridH = (
+            (-(-self.fullH // tile) * tile) if grid_rows is None else grid_rows
+        )
+        self.nth, self.ntw = self.Hp // tile, self.Wp // tile
+
+        # static window mask in tile-local coords: key global offset from
+        # the query pixel is (ki - halo - qi, kj - halo - qj)
+        tt, ww = (tile, tile), (self.win, self.win)
+        qi = jax.lax.broadcasted_iota(jnp.float32, tt, 0).reshape(-1)
+        qj = jax.lax.broadcasted_iota(jnp.float32, tt, 1).reshape(-1)
+        self.ki = jax.lax.broadcasted_iota(jnp.float32, ww, 0).reshape(-1)
+        self.kj = jax.lax.broadcasted_iota(jnp.float32, ww, 1).reshape(-1)
+        dy = jnp.abs(self.ki[None, :] - self.halo - qi[:, None])
+        dx = jnp.abs(self.kj[None, :] - self.halo - qj[:, None])
+        if mask_shape == "circle":
+            self.mask = dy * dy + dx * dx < radius * radius  # (S, win²)
+        else:  # 'square': the mmcv-Correlation window (|d| <= radius)
+            self.mask = (dy <= radius) & (dx <= radius)
+
+    def pad_query(self, query):
+        return jnp.pad(
+            query, ((0, self.Hp - self.H), (0, self.Wp - self.W), (0, 0))
+        )
+
+    def pad_values(self, value):
+        h = self.halo
+        return jnp.pad(
+            value,
+            (
+                (0, 0),
+                (h, h + self.gridH - self.fullH),
+                (h, h + self.Wp - self.W),
+                (0, 0),
+            ),
+        )
+
+    def bias(self, tr, tc, frame_bias):
+        """(S, T, win²) additive bias: -inf outside the window mask or the
+        un-padded image bounds; `frame_bias` (T,) adds per-slot validity.
+        `tr`/`tc` are the tile's GLOBAL row/col origin."""
+        ninf = jnp.float32(-jnp.inf)
+        kgi = tr + self.ki - self.halo
+        kgj = tc + self.kj - self.halo
+        in_bounds = (
+            (kgi >= 0)
+            & (kgi <= self.fullH - 1)
+            & (kgj >= 0)
+            & (kgj <= self.W - 1)
+        )
+        allowed = self.mask & in_bounds[None, :]  # (S, win²)
+        return jnp.where(allowed[:, None, :], 0.0, ninf) + frame_bias[
+            None, :, None
+        ]
+
+    def untile(self, outs, Cv):
+        out = outs.reshape(
+            self.nth, self.ntw, self.tile, self.tile, Cv
+        ).transpose(0, 2, 1, 3, 4)
+        return out.reshape(self.Hp, self.Wp, Cv)[: self.H, : self.W]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -133,16 +215,11 @@ def masked_topk_attention_tiled(
     Cv = value.shape[-1]
     prec = _PRECISIONS[precision]
 
-    fullH = H if full_h is None else full_h
-    halo = int(radius)
-    win = tile + 2 * halo
-    S = tile * tile
+    g = _TileGeometry(H, W, tile, radius, mask_shape,
+                      full_h=full_h, grid_rows=grid_rows)
+    halo, win, S = g.halo, g.win, g.S
     K = T * win * win
-
-    Hp = -(-H // tile) * tile
-    Wp = -(-W // tile) * tile
-    gridH = (-(-fullH // tile) * tile) if grid_rows is None else grid_rows
-    nth, ntw = Hp // tile, Wp // tile
+    nth, ntw = g.nth, g.ntw
     if row_offset is None:
         row_offset = jnp.int32(0)
 
@@ -151,31 +228,12 @@ def masked_topk_attention_tiled(
         if frame_idx is None:
             key = l2_normalize(key)
 
-    qpad = jnp.pad(query, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    qpad = g.pad_query(query)
     if frame_idx is None:
-        kpad = jnp.pad(
-            key,
-            ((0, 0), (halo, halo + gridH - fullH), (halo, halo + Wp - W), (0, 0)),
-        )
+        kpad = g.pad_values(key)
     else:
         kpad = key  # already padded bank (Tb, gridH+2halo, Wp+2halo, C)
-    vpad = jnp.pad(
-        value,
-        ((0, 0), (halo, halo + gridH - fullH), (halo, halo + Wp - W), (0, 0)),
-    )
-
-    # static circle mask in tile-local coords: key global offset from the
-    # query pixel is (ki - halo - qi, kj - halo - qj)
-    qi = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0).reshape(-1)
-    qj = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1).reshape(-1)
-    ki = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0).reshape(-1)
-    kj = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1).reshape(-1)
-    dy = jnp.abs(ki[None, :] - halo - qi[:, None])
-    dx = jnp.abs(kj[None, :] - halo - qj[:, None])
-    if mask_shape == "circle":
-        circle = dy * dy + dx * dx < radius * radius  # (S, win²)
-    else:  # 'square': the mmcv-Correlation window (|d| <= radius)
-        circle = (dy <= radius) & (dx <= radius)
+    vpad = g.pad_values(value)
 
     ninf = jnp.float32(-jnp.inf)
     if key_valid is not None:
@@ -210,17 +268,8 @@ def masked_topk_attention_tiled(
             / temperature
         )  # (S, K)
 
-        # key validity: inside the un-padded image
-        kgi = tr + ki - halo
-        kgj = tc + kj - halo
-        in_bounds = (
-            (kgi >= 0) & (kgi <= fullH - 1) & (kgj >= 0) & (kgj <= W - 1)
-        )
-        allowed = circle & in_bounds[None, :]  # (S, win²)
-        bias = jnp.where(allowed[:, None, :], 0.0, ninf) + frame_bias[
-            None, :, None
-        ]  # (S, T, win²)
-        aff = aff + bias.reshape(S, K)
+        # -inf outside the window mask / image bounds; invalid frame slots
+        aff = aff + g.bias(tr, tc, frame_bias).reshape(S, K)
 
         if topk is not None and mode == "softmax" and topk_impl == "approx":
             # Gather-free approximate top-k: approx_max_k uses the TPU
@@ -310,8 +359,7 @@ def masked_topk_attention_tiled(
         return None, out  # (S, Cv)
 
     _, outs = jax.lax.scan(tile_fn, None, jnp.arange(nth * ntw))
-    out = outs.reshape(nth, ntw, tile, tile, Cv).transpose(0, 2, 1, 3, 4)
-    return out.reshape(Hp, Wp, Cv)[:H, :W]
+    return g.untile(outs, Cv)
 
 
 def masked_topk_attention_tiled_bank_sharded(
@@ -381,35 +429,19 @@ def masked_topk_attention_tiled_bank_sharded(
     Cv = value.shape[-1]
     prec = _PRECISIONS[precision]
 
-    halo = int(radius)
-    win = tile + 2 * halo
-    S = tile * tile
+    g = _TileGeometry(H, W, tile, radius, mask_shape)
+    win, S = g.win, g.S
     K = Twin * win * win
-    Hp = -(-H // tile) * tile
-    Wp = -(-W // tile) * tile
-    nth, ntw = Hp // tile, Wp // tile
+    nth, ntw = g.nth, g.ntw
 
-    qpad = jnp.pad(query, ((0, Hp - H), (0, Wp - W), (0, 0)))
-    vpad = jnp.pad(
-        value, ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0))
-    )
+    qpad = g.pad_query(query)
+    vpad = g.pad_values(value)
 
     owns = (frame_idx >= shard_lo) & (frame_idx < shard_lo + Tl)
     lidx = jnp.clip(frame_idx - shard_lo, 0, Tl - 1).astype(jnp.int32)
     valid = owns if key_valid is None else (owns & key_valid)
     ninf = jnp.float32(-jnp.inf)
     frame_bias = jnp.where(valid, 0.0, ninf)  # (Twin,)
-
-    qi = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0).reshape(-1)
-    qj = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1).reshape(-1)
-    ki = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0).reshape(-1)
-    kj = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1).reshape(-1)
-    dy = jnp.abs(ki[None, :] - halo - qi[:, None])
-    dx = jnp.abs(kj[None, :] - halo - qj[:, None])
-    if mask_shape == "circle":
-        circle = dy * dy + dx * dx < radius * radius  # (S, win²)
-    else:
-        circle = (dy <= radius) & (dx <= radius)
 
     def tile_fn(_, t_idx):
         tr = (t_idx // ntw) * tile
@@ -433,14 +465,7 @@ def masked_topk_attention_tiled_bank_sharded(
             / temperature
         )  # (S, K)
 
-        kgi = tr + ki - halo
-        kgj = tc + kj - halo
-        in_bounds = (kgi >= 0) & (kgi <= H - 1) & (kgj >= 0) & (kgj <= W - 1)
-        allowed = circle & in_bounds[None, :]  # (S, win²)
-        bias = jnp.where(allowed[:, None, :], 0.0, ninf) + frame_bias[
-            None, :, None
-        ]
-        aff = aff + bias.reshape(S, K)
+        aff = aff + g.bias(tr, tc, frame_bias).reshape(S, K)
 
         # --- distributed exact top-k merge over the bank axis ---
         w_loc = jax.lax.top_k(aff, topk)[0]  # (S, k) local
@@ -470,8 +495,7 @@ def masked_topk_attention_tiled_bank_sharded(
         return None, jax.lax.psum(part, axis_name)  # (S, Cv)
 
     _, outs = jax.lax.scan(tile_fn, None, jnp.arange(nth * ntw))
-    out = outs.reshape(nth, ntw, tile, tile, Cv).transpose(0, 2, 1, 3, 4)
-    return out.reshape(Hp, Wp, Cv)[:H, :W]
+    return g.untile(outs, Cv)
 
 
 def pad_key_bank(

@@ -234,8 +234,14 @@ def test_bank_hard_prop_close_to_single():
 
 
 def test_bank_track_masks_matches_single():
-    """VOS protocol (square window, one-hot labels) under the bank mesh:
-    the propagated label maps must agree exactly after argmax."""
+    """VOS protocol (square window, one-hot labels) under the bank mesh.
+
+    The sharded kernel matches unsharded only to partial-sum
+    reassociation (~1e-7 on logits), and one-hot label maps carry many
+    EXACTLY-equal values, so argmax label ties can flip on isolated
+    pixels; ≥99.5% pixel agreement is the tolerated tie/ulp budget
+    (exact equality would be flaky by construction — same rationale as
+    test_bank_hard_prop_close_to_single)."""
     from fgvc_tpu.models.tracker import Tracker
 
     mesh = _bank_mesh(2)
@@ -302,6 +308,57 @@ def test_bank_eval_harness_matches_single(tmp_path):
     assert banked["average_pts_within_thresh"] == pytest.approx(
         single["average_pts_within_thresh"], abs=1e-4
     )
+
+
+# ------------------------------------------------------------------ #
+# capacity: the bank is BORN frame-sharded (never replicated)
+# ------------------------------------------------------------------ #
+def test_bank_features_born_sharded():
+    """_features_padded under a bank mesh must return a frame-sharded
+    array whose per-device shards are 1/n of the bank — extracting
+    replicated and resharding would put a full bank on the default
+    device first, the exact OOM bank_mesh exists to avoid."""
+    from jax.sharding import NamedSharding
+
+    from fgvc_tpu.models.tracker import Tracker
+
+    mesh = _bank_mesh(4)
+    rng = np.random.default_rng(9)
+    T, H, W = 10, 32, 32
+    video = rng.standard_normal((T, H, W, 3)).astype(np.float32)
+
+    tr = Tracker(_stride2_backbone(H, W, 4), {}, _bp_cfg(), bank_mesh=mesh)
+    feats = tr._features_padded(video)
+
+    assert isinstance(feats.sharding, NamedSharding)
+    assert feats.sharding.spec == PSpec("bank")
+    t_pad = feats.shape[0]
+    assert t_pad % 4 == 0
+    shards = feats.addressable_shards
+    assert len({s.device for s in shards}) == 4
+    for s in shards:
+        assert s.data.shape[0] == t_pad // 4
+    # values must still be the plain per-frame features
+    ref = Tracker(_stride2_backbone(H, W, 4), {}, _bp_cfg())._features_padded(
+        video
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats)[:T], np.asarray(ref)[:T], atol=1e-6
+    )
+
+
+def test_run_task_bank_devices_requires_tiled_early(tmp_path):
+    """--bank-devices with the task-default pallas impl must fail fast
+    with a message naming --attention-impl tiled (not later from the
+    Tracker constructor)."""
+    from fgvc_tpu.apis.test import run_task
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    with pytest.raises(ValueError, match="--attention-impl tiled"):
+        run_task(
+            "davis", data_root=str(tmp_path), bank_devices=2,
+        )
 
 
 # ------------------------------------------------------------------ #
