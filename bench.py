@@ -139,6 +139,20 @@ def run_section(name, fn, errors, reprobe_wait_s: float = 900.0):
     except KeyboardInterrupt:
         raise
     except Exception as e:  # noqa: BLE001 — partial record beats a crash
+        if any(
+            m in str(e) for m in ("Ran out of memory", "RESOURCE_EXHAUSTED")
+        ):
+            # deterministic HBM OOM (e.g. a bank beyond the single-chip
+            # ceiling — docs/roofline.md "bank capacity"): a backend
+            # re-probe + retry cannot change the outcome; degrade
+            # immediately and keep the remaining sections
+            errors[name] = f"{type(e).__name__} (hbm oom): {str(e)[:300]}"
+            print(
+                f"# section {name!r} hit HBM OOM — recording and "
+                "continuing",
+                file=sys.stderr,
+            )
+            return None
         print(
             f"# section {name!r} failed ({type(e).__name__}): "
             f"{str(e)[:200]} — re-probing backend",

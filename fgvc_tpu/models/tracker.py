@@ -425,10 +425,14 @@ class Tracker:
 
         emit(seg_logit (h, w, P)) -> per-frame output pytree.
 
-        `t0`/`length` are bank-mesh-only: the frame-sharded bank arrives
-        UNSLICED and the bank scan addresses frames globally (slicing the
-        sharded axis would gather a full copy per device).  The unsharded
-        and spatial paths receive a pre-sliced feats and must not pass
+        `t0`/`length` run a query group starting at GLOBAL frame t0 of the
+        full UNSLICED bank: on the bank mesh because slicing the sharded
+        frame axis would gather a full copy per device, and on the
+        single-device bank-direct paths (pallas / tiled bank mode) because
+        a traced-start `dynamic_slice` materializes a second full-bank HBM
+        copy (~17 MB/frame at Kinetics shapes — it set the single-chip
+        bank ceiling, docs/roofline.md "bank capacity").  The spatial and
+        legacy paths still receive a pre-sliced feats and must not pass
         them.
 
         Default (tiled) path runs in BANK mode: the feature bank is
@@ -440,16 +444,23 @@ class Tracker:
             return self._scan_propagate_bank(
                 feats, first_value, mask_shape, emit, t0=t0, length=length
             )
-        assert t0 is None and length is None, (
-            "t0/length are only meaningful for the bank-sharded scan"
-        )
         if self.spatial_mesh is not None:
+            assert t0 is None and length is None, (
+                "the spatial-parallel scan takes a pre-sliced feats"
+            )
             return self._scan_propagate_sp(feats, first_value, mask_shape, emit)
         cfg = self.cfg
         T, h, w, C = feats.shape
+        L = int(length) if length is not None else T
+        gbase = jnp.int32(0) if t0 is None else jnp.asarray(t0, jnp.int32)
         non_mask_len = 0 if cfg.with_first_neighbor else 1
         bank_mode = cfg.attention_impl == "tiled" and non_mask_len == 0
         pallas_bank = cfg.attention_impl == "pallas" and non_mask_len == 0
+        assert (t0 is None and length is None) or bank_mode or pallas_bank, (
+            "global bank addressing (t0/length) needs a bank-direct impl "
+            f"(tiled/pallas with with_first_neighbor), got "
+            f"{cfg.attention_impl!r}"
+        )
         radius = cfg.neighbor_range // 2
         halo = int(radius)
 
@@ -472,7 +483,10 @@ class Tracker:
                 feats = l2_normalize(feats)
 
         def window_indices(t):
-            return self._window_indices(t, T)
+            # t is the offset within the group; the window geometry is
+            # group-relative (pre-group slots key_valid-masked), indices
+            # are lifted to global bank frames by gbase
+            return self._window_indices(t, L)
 
         bank_entry = self._bank_entry
 
@@ -480,13 +494,14 @@ class Tracker:
 
         def step_bank(value_buf, t):
             idx, key_valid = window_indices(t)
+            gidx = idx + gbase
             query = jax.lax.dynamic_slice(
-                bank_pad, (t, halo, halo, 0), (1, h, w, C)
+                bank_pad, (gbase + t, halo, halo, 0), (1, h, w, C)
             )[0]
             if pure_bank:
-                keys, fidx = bank_pad, idx
+                keys, fidx = bank_pad, gidx
             else:
-                keys, fidx = bank_pad[idx], jnp.arange(idx.shape[0])
+                keys, fidx = bank_pad[gidx], jnp.arange(gidx.shape[0])
             values = jnp.concatenate([first_value[None], value_buf], axis=0)
             seg_logit = masked_topk_attention_tiled(
                 query,
@@ -512,14 +527,14 @@ class Tracker:
             idx, key_valid = window_indices(t)
             # query slice at the bank's padded origin (halo, halo)
             qpad = jax.lax.dynamic_slice(
-                bank_pad, (t, halo, halo, 0), (1, Hp, Wp, C)
+                bank_pad, (gbase + t, halo, halo, 0), (1, Hp, Wp, C)
             )[0]
             values = jnp.concatenate([first_value[None], value_buf], axis=0)
             seg_logit = fused_topk_attention_banked(
                 qpad,
                 bank_pad,
                 values,
-                frame_idx=idx.astype(jnp.int32),
+                frame_idx=(idx + gbase).astype(jnp.int32),
                 key_valid=key_valid,
                 H=h,
                 W=w,
@@ -585,7 +600,7 @@ class Tracker:
                 self._adjacent_feature_flows(feats), cfg.precede_frames
             )
             _, outs = jax.lax.scan(
-                step_flow, init_buf, (jnp.arange(1, T), wflows)
+                step_flow, init_buf, (jnp.arange(1, L), wflows)
             )
             return outs
         if pallas_bank:
@@ -594,7 +609,7 @@ class Tracker:
             step = step_bank
         else:
             step = step_legacy
-        _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, T))
+        _, outs = jax.lax.scan(step, init_buf, jnp.arange(1, L))
         return outs
 
     def _adjacent_feature_flows(self, featsn: jax.Array) -> jax.Array:
@@ -1226,10 +1241,17 @@ class Tracker:
         init_maps = draw_gaussian_maps(pts, H, W, sigma=cfg.sigma, stride=stride)
         init_maps = init_maps * valid[:, None, None].astype(init_maps.dtype)
 
-        if self.bank_mesh is not None:
-            # never slice the frame-sharded bank (a traced-start
-            # dynamic_slice would gather a full copy per device); the bank
-            # scan addresses frames globally from t0
+        bank_direct = (
+            cfg.attention_impl in ("pallas", "tiled")
+            and cfg.with_first_neighbor
+            and self.spatial_mesh is None
+        )
+        if self.bank_mesh is not None or bank_direct:
+            # never slice the bank: on the bank mesh a traced-start
+            # dynamic_slice of the frame-sharded axis would gather a full
+            # copy per device, and on one device it materializes a second
+            # full-bank HBM copy (docs/roofline.md "bank capacity"); the
+            # scan addresses frames globally from t0 instead
             coords = self._propagate_impl(
                 feats, init_maps, full_hw, t0=t0, length=length
             )

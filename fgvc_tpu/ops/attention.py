@@ -42,6 +42,43 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(norm, eps)
 
 
+def build_padded_bank(
+    bank: jax.Array,        # (Tb, H, W, C)
+    *,
+    halo: int,
+    rows_total: int,
+    cols_total: int,
+    normalize: bool = True,
+    dtype=None,
+) -> jax.Array:
+    """Normalize + halo-pad a feature bank WITHOUT a full normalized temp.
+
+    `normalize(bank)` followed by `jnp.pad` materializes the normalized
+    bank AND the padded bank as separate HBM buffers — at Kinetics shapes
+    that middle temp is ~17 MB/frame and sets the single-chip bank
+    ceiling (docs/roofline.md "bank capacity").  Here frames are
+    normalized and written ONE AT A TIME into a zero-initialized output
+    (XLA aliases the fori_loop carry in place), so the peak while
+    building is input + output + one frame.
+
+    Returns (Tb, rows_total, cols_total, C) with the frame content at
+    spatial offset (halo, halo); the surrounding zeros are the pad.
+    """
+    Tb, H, W, C = bank.shape
+    dtype = bank.dtype if dtype is None else dtype
+    out = jnp.zeros((Tb, rows_total, cols_total, C), dtype)
+
+    def body(t, acc):
+        f = jax.lax.dynamic_slice(bank, (t, 0, 0, 0), (1, H, W, C))
+        if normalize:
+            f = l2_normalize(f)
+        return jax.lax.dynamic_update_slice(
+            acc, f.astype(dtype), (t, halo, halo, 0)
+        )
+
+    return jax.lax.fori_loop(0, Tb, body, out)
+
+
 def spatial_neighbor_mask(height: int, width: int, neighbor_range: int) -> jax.Array:
     """(H*W, H*W) boolean circle mask: key pixel i is a neighbor of query pixel j.
 

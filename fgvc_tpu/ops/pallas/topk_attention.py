@@ -517,18 +517,17 @@ def pad_key_bank_pallas(
     Wp = _round_up(W, tile)
     rows_pad = _round_up(win, 8)
     wpad = _round_up(win, 8)
-    if normalize:
-        bank = l2_normalize(bank)
-    dtype = _PALLAS_PRECISIONS[compute_dtype]
-    bank = bank.astype(dtype)
-    return jnp.pad(
+    from fgvc_tpu.ops.attention import build_padded_bank
+
+    # chunked normalize-into-pad: no full normalized temp (the temp sets
+    # the single-chip bank ceiling at Kinetics scale — docs/roofline.md)
+    return build_padded_bank(
         bank,
-        (
-            (0, 0),
-            (halo, halo + Hp - H + (rows_pad - win)),
-            (halo, halo + Wp - W + (wpad - win)),
-            (0, 0),
-        ),
+        halo=halo,
+        rows_total=H + 2 * halo + (Hp - H) + (rows_pad - win),
+        cols_total=W + 2 * halo + (Wp - W) + (wpad - win),
+        normalize=normalize,
+        dtype=_PALLAS_PRECISIONS[compute_dtype],
     )
 
 

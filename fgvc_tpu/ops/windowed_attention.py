@@ -513,8 +513,13 @@ def pad_key_bank(
     H, W = bank.shape[1:3]
     Hp = (-(-H // tile) * tile) if grid_rows is None else grid_rows
     Wp = -(-W // tile) * tile
-    bank = l2_normalize(bank)
-    return jnp.pad(
+    from fgvc_tpu.ops.attention import build_padded_bank
+
+    # chunked normalize-into-pad: no full normalized temp in HBM
+    return build_padded_bank(
         bank,
-        ((0, 0), (halo, halo + Hp - H), (halo, halo + Wp - W), (0, 0)),
+        halo=halo,
+        rows_total=H + 2 * halo + (Hp - H),
+        cols_total=W + 2 * halo + (Wp - W),
+        normalize=True,
     )

@@ -151,3 +151,26 @@ def test_emit_record_clean_run_persists_last_good(
     assert saved["value"] == 140.0 and "measured_at" in saved
     # the emitted line itself carries no measured_at (driver-schema keys only)
     assert "measured_at" not in json.loads(capsys.readouterr().out.strip())
+
+
+def test_section_oom_degrades_without_retry(bench, monkeypatch):
+    """A deterministic HBM OOM (bank beyond the single-chip ceiling) must
+    not burn a backend re-probe + retry — the outcome cannot change.  The
+    section records its error immediately and the run continues."""
+    calls = []
+    monkeypatch.setattr(
+        bench, "wait_for_backend",
+        lambda *a, **k: pytest.fail("OOM must not re-probe the backend"),
+    )
+
+    def oom_section():
+        calls.append(1)
+        raise RuntimeError(
+            "XLA:TPU compile permanent error. Ran out of memory in memory "
+            "space hbm. Used 16.54G of 15.75G hbm."
+        )
+
+    errors = {}
+    assert bench.run_section("kinetics", oom_section, errors) is None
+    assert len(calls) == 1  # no retry
+    assert "hbm oom" in errors["kinetics"]

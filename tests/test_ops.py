@@ -238,3 +238,35 @@ def test_masked_topk_attention_l2_distance_mode():
     w /= w.sum(-1, keepdims=True)
     ref = np.einsum("sk,skc->sc", w, vf[idx]).reshape(H, W, Cv)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_build_padded_bank_matches_pad_formula():
+    """build_padded_bank writes frames one at a time into a zero buffer so
+    the full normalized bank is never a separate HBM temp (the temp set the
+    single-chip Kinetics bank ceiling — docs/roofline.md "bank capacity").
+    It must be numerically equivalent to normalize-then-jnp.pad."""
+    import jax.numpy as jnp
+
+    from fgvc_tpu.ops.attention import build_padded_bank, l2_normalize
+
+    rng = np.random.default_rng(3)
+    bank = jnp.asarray(rng.standard_normal((4, 18, 22, 8)), jnp.float32)
+    halo = 5
+    rows_total, cols_total = 18 + 2 * halo + 6, 22 + 2 * halo + 2
+    for normalize in (True, False):
+        got = build_padded_bank(
+            bank, halo=halo, rows_total=rows_total, cols_total=cols_total,
+            normalize=normalize,
+        )
+        b = l2_normalize(bank) if normalize else bank
+        want = jnp.pad(b, ((0, 0), (halo, 6 + halo), (halo, 2 + halo), (0, 0)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-7
+        )
+    # bf16 cast path (the pallas bank in bf16/high modes)
+    got16 = build_padded_bank(
+        bank, halo=halo, rows_total=rows_total, cols_total=cols_total,
+        normalize=True, dtype=jnp.bfloat16,
+    )
+    assert got16.dtype == jnp.bfloat16

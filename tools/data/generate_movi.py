@@ -60,11 +60,16 @@ def generate_scene(
     num_objects: int = 6,
     tracks_per_object: int = 8,
     background_tracks: int = 16,
+    return_segmentation: bool = False,
 ):
     """One MOVi-style scene.
 
     Returns dict(video (T,H,W,3) uint8, points (P,T,2) in [0,1] (x,y),
     occluded (P,T) bool) — the TAP-Vid pickle record format.
+    `return_segmentation` adds "segmentation" (T,H,W) uint8 instance
+    labels (0 = background) from the same per-pixel depth ownership the
+    occlusion flags use — a ground-truth mask stack for VOS-format
+    rehearsal datasets (tools/rehearse_eval.py).
     """
     T, S = num_frames, size
     bg = _texture(rng, S, S).astype(np.uint8)
@@ -95,6 +100,7 @@ def generate_scene(
     bg_pts = rng.uniform(0, S, (background_tracks, 2)).astype(np.float32)
 
     video = np.zeros((T, S, S, 3), np.uint8)
+    seg = np.zeros((T, S, S), np.uint8) if return_segmentation else None
     P = sum(len(o["track_off"]) for o in objects) + background_tracks
     points = np.zeros((P, T, 2), np.float32)   # (x, y) pixels
     occluded = np.ones((P, T), bool)
@@ -119,6 +125,8 @@ def generate_scene(
             owner[sub] = np.where(m, oi, owner_region)
 
         video[t] = frame
+        if seg is not None:
+            seg[t] = (owner + 1).astype(np.uint8)
 
         pi = 0
         for oi, o in enumerate(objects):
@@ -138,11 +146,14 @@ def generate_scene(
             occluded[pi, t] = owner[int(py) % S, int(px) % S] != -1
             pi += 1
 
-    return {
+    rec = {
         "video": video,
         "points": points / float(S),  # TAP-Vid convention: [0, 1]
         "occluded": occluded,
     }
+    if seg is not None:
+        rec["segmentation"] = seg
+    return rec
 
 
 def main():
