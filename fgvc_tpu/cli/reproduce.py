@@ -128,6 +128,24 @@ def _from_mmcv_naming(state):
     return out
 
 
+def probe_forward(model):
+    """The probe's jitted forward with HIGHEST-precision matmuls bound
+    INSIDE the traced function.  On TPU the default precision rounds conv
+    operands to bf16, which puts flax-vs-torch-f32 layer3 deltas at ~1e-1
+    and fails the probe's 1e-3 bar on correctly-converted weights — caught
+    by the round-5 on-chip dress rehearsal (docs/rehearsal_eval.md); the
+    probe had only ever run on CPU, where the default IS f32.  Exposed at
+    module level so tests can assert the precision survives into the
+    lowered HLO (tests/test_reproduce_cli.py)."""
+    import jax
+
+    def _fwd(v, x):
+        with jax.default_matmul_precision("highest"):
+            return model.apply(v, x, train=False)
+
+    return jax.jit(_fwd)
+
+
 def parity_probe(checkpoint: str, frames: int = 2, size: int = 256) -> dict:
     """Plan step 2: flax-vs-torch layer3 features from the SAME weights.
 
@@ -161,8 +179,7 @@ def parity_probe(checkpoint: str, frames: int = 2, size: int = 256) -> dict:
     twin.eval()
 
     variables = convert_resnet_state_dict(raw, prefix=prefix)
-    model = resnet18_d1()
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    fwd = probe_forward(resnet18_d1())
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((frames, size, size, 3)).astype(np.float32)

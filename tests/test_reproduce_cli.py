@@ -45,6 +45,25 @@ def test_parity_probe_roundtrip(tmp_path):
     assert probe["max_abs"] < 1e-3
 
 
+def test_probe_forward_is_highest_precision():
+    """The probe forward must carry HIGHEST matmul precision into the
+    lowered HLO.  The CPU test suite cannot catch a precision regression
+    behaviorally (CPU default IS f32); on TPU the default rounds conv
+    operands to bf16 and the probe then fails its 1e-3 bar on
+    correctly-converted weights — this happened on chip in the round-5
+    dress rehearsal (docs/rehearsal_eval.md).  Assert structurally."""
+    import jax
+
+    from fgvc_tpu.cli.reproduce import probe_forward
+    from fgvc_tpu.models.resnet import init_resnet_params, resnet18_d1
+
+    model = resnet18_d1()
+    variables = init_resnet_params(model, jax.random.PRNGKey(0), (32, 32))
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    hlo = probe_forward(model).lower(variables, x).as_text()
+    assert "HIGHEST" in hlo, "probe forward lost HIGHEST matmul precision"
+
+
 def test_parity_probe_catches_corruption(tmp_path):
     """A deliberately broken conversion input must NOT pass the probe."""
     from fgvc_tpu.cli.reproduce import parity_probe
