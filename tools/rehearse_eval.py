@@ -132,7 +132,12 @@ def build_mock_pth(path, seed=0):
     )
 
 
-def run_step(name, cmd, results, timeout=5400):
+def run_step(name, cmd, results, timeout=5400, ok_rcs=(0,)):
+    """Run one production command; `ok_rcs` lists the return codes that
+    count as a successful rehearsal (tools/reproduce.py exits 1 BY DESIGN
+    when a task misses the ±0.5 reproduction bar — inevitable, and
+    correct, with the rehearsal's mock random-weight checkpoint)."""
+    prev = results.get(name) or {}
     print(f"\n### {name}: {shlex.join(cmd)}", flush=True)
     t0 = time.perf_counter()
     r = subprocess.run(
@@ -152,17 +157,24 @@ def run_step(name, cmd, results, timeout=5400):
                 except ValueError:
                     pass
                 break
+    ok = r.returncode in ok_rcs
     results[name] = {
         "cmd": shlex.join(cmd),
         "wall_s": round(dt, 1),
+        # tunnel weather swings step walls several-fold between otherwise
+        # identical runs; keep every observed wall so the report shows the
+        # spread instead of whichever run happened last
+        "wall_s_history": (prev.get("wall_s_history") or [])
+        + [round(dt, 1)],
         "returncode": r.returncode,
+        "rc_ok": ok,
         "metrics": out_json,
     }
-    if r.returncode != 0:
+    if not ok:
         results[name]["stderr_tail"] = r.stderr[-2000:]
         print(r.stderr[-2000:], file=sys.stderr)
     print(f"### {name}: rc={r.returncode} wall={dt:.1f}s", flush=True)
-    return r.returncode == 0
+    return ok
 
 
 def main():
@@ -177,12 +189,25 @@ def main():
     p.add_argument("--report", default=os.path.join(REPO, "docs", "rehearsal_eval.md"))
     p.add_argument("--json", default=os.path.join(REPO, "docs", "rehearsal_eval_report.json"))
     p.add_argument("--skip-generate", action="store_true")
+    p.add_argument("--note", action="append", default=[],
+                   help="finding to record in the report's findings "
+                        "section (persisted in the JSON across reruns)")
+    p.add_argument("--steps", default="davis,vos,reproduce",
+                   help="comma list of steps to (re)run; earlier steps' "
+                        "results are kept from the existing JSON report")
     args = p.parse_args()
 
     tap_dir = os.path.join(args.root, "tapvid")
     vos_dir = os.path.join(args.root, "vos")
     ckpt = os.path.join(args.root, "mock_res18_d1_mixed_training.pth")
+    steps = set(args.steps.split(","))
     results = {}
+    if os.path.exists(args.json):
+        with open(args.json) as f:
+            results = json.load(f)
+    if args.note:
+        notes = results.setdefault("_notes", {"notes": []})
+        notes["notes"].extend(args.note)
 
     if not args.skip_generate or not os.path.exists(ckpt):
         t0 = time.perf_counter()
@@ -200,28 +225,48 @@ def main():
         }
 
     py = sys.executable
-    run_step(
-        "davis",
-        [py, "tools/test.py", "--task", "davis", "--data-root", tap_dir,
-         "--checkpoint", ckpt,
-         "--output-dir", os.path.join(args.root, "out_davis")],
-        results,
-    )
-    run_step(
-        "vos",
-        [py, "tools/test.py", "--task", "vos", "--data-root", vos_dir,
-         "--checkpoint", ckpt, "--save-mem",
-         "--input-size", str(args.size),
-         "--output-dir", os.path.join(args.root, "out_vos")],
-        results,
-    )
-    run_step(
-        "reproduce",
-        [py, "tools/reproduce.py", "--checkpoint", ckpt,
-         "--davis-root", tap_dir, "--fast-modes",
-         "--output-dir", os.path.join(args.root, "out_reproduce")],
-        results,
-    )
+    if "davis" in steps:
+        run_step(
+            "davis",
+            [py, "tools/test.py", "--task", "davis", "--data-root", tap_dir,
+             "--checkpoint", ckpt,
+             "--output-dir", os.path.join(args.root, "out_davis")],
+            results,
+        )
+    if "vos" in steps:
+        run_step(
+            "vos",
+            [py, "tools/test.py", "--task", "vos", "--data-root", vos_dir,
+             "--checkpoint", ckpt, "--save-mem",
+             "--input-size", str(args.size),
+             "--output-dir", os.path.join(args.root, "out_vos")],
+            results,
+        )
+    if "reproduce" in steps:
+        # rc=1 == "every step ran; the ±0.5 reproduction bar was missed" —
+        # the CORRECT outcome for random mock weights on synthetic scenes
+        # (the rehearsal proves the machinery, not the numbers).  rc=2
+        # (parity-probe abort) and any crash remain failures.
+        run_step(
+            "reproduce",
+            [py, "tools/reproduce.py", "--checkpoint", ckpt,
+             "--davis-root", tap_dir, "--fast-modes",
+             "--output-dir", os.path.join(args.root, "out_reproduce")],
+            results,
+            ok_rcs=(0, 1),
+        )
+        rep_json = os.path.join(args.root, "out_reproduce", "report.json")
+        if os.path.exists(rep_json):
+            with open(rep_json) as f:
+                rep = json.load(f)
+            results["reproduce"]["metrics"] = {
+                "feature_parity": rep.get("feature_parity"),
+                "davis_vs_published": {
+                    k: v for k, v in rep.get("tasks", {})
+                    .get("davis", {}).items() if k != "all_metrics"
+                },
+                "fast_modes": rep.get("fast_modes"),
+            }
 
     # frames/s per eval step (video frames scored / CLI wall time —
     # includes compile on a cold cache; see per-step notes)
@@ -239,7 +284,8 @@ def main():
     write_report(args, results)
     print(f"\nwrote {args.report} + {args.json}")
     sys.exit(0 if all(
-        r.get("returncode", 0) == 0 for r in results.values()
+        r.get("rc_ok", r.get("returncode", 0) == 0)
+        for r in results.values()
     ) else 1)
 
 
@@ -267,26 +313,57 @@ def write_report(args, results):
         f"{args.vos_scenes}x{args.vos_frames}f DAVIS-VOS tree, {args.size}px",
         "",
     ]
+    def _round(o):
+        if isinstance(o, float):
+            # 4 significant digits, not 4 decimals: probe deltas are ~1e-5
+            # and must not render as 0.0
+            return float(f"{o:.4g}")
+        if isinstance(o, dict):
+            return {k: _round(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [_round(v) for v in o]
+        return o
+
+    for note in results.get("_notes", {}).get("notes", []):
+        lines.append(f"- **finding:** {note}")
+    if results.get("_notes"):
+        lines.append("")
+
     for name, r in results.items():
+        if name == "_notes":
+            continue
         lines.append(f"## {name}")
         lines.append("")
         if "cmd" in r:
             lines.append(f"```\n{r['cmd']}\n```")
+        rc = r.get("returncode", 0)
+        rc_note = ""
+        if name == "reproduce" and rc == 1:
+            rc_note = (" (rc=1 is tools/reproduce.py's designed exit for "
+                       "'ran fully, ±0.5 reproduction bar missed' — the "
+                       "correct outcome for mock random weights)")
         lines.append(
-            f"- wall: {r['wall_s']}s, rc={r.get('returncode', 0)}"
+            f"- wall: {r['wall_s']}s, rc={rc}{rc_note}"
             + (f", CLI throughput {r['cli_fps']} fps (incl. compile + "
                "host decode on the 1-core host)" if "cli_fps" in r else "")
         )
+        hist = r.get("wall_s_history") or []
+        if len(hist) > 1:
+            lines.append(
+                f"- wall across reruns: {hist} s — the spread is tunnel "
+                "weather (host<->chip link), not code; see CLAUDE.md"
+            )
         m = r.get("metrics")
         if m:
             flat = {
-                k: (round(v, 4) if isinstance(v, float) else v)
-                for k, v in m.items()
+                k: _round(v) for k, v in m.items()
                 if not isinstance(v, (dict, list))
             }
-            lines.append(f"- metrics: `{json.dumps(flat)}`")
-            if isinstance(m.get("fast_modes"), (dict, list)):
-                lines.append(f"- fast_modes: `{json.dumps(m['fast_modes'])}`")
+            if flat:
+                lines.append(f"- metrics: `{json.dumps(flat)}`")
+            for k, v in m.items():
+                if isinstance(v, (dict, list)):
+                    lines.append(f"- {k}: `{json.dumps(_round(v))}`")
         if "stderr_tail" in r:
             lines.append(f"- stderr tail:\n```\n{r['stderr_tail'][-600:]}\n```")
         lines.append("")
