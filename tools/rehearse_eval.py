@@ -192,7 +192,7 @@ def main():
     p.add_argument("--note", action="append", default=[],
                    help="finding to record in the report's findings "
                         "section (persisted in the JSON across reruns)")
-    p.add_argument("--steps", default="davis,vos,reproduce",
+    p.add_argument("--steps", default="davis,kinetics,vos,reproduce",
                    help="comma list of steps to (re)run; earlier steps' "
                         "results are kept from the existing JSON report")
     args = p.parse_args()
@@ -231,6 +231,19 @@ def main():
             [py, "tools/test.py", "--task", "davis", "--data-root", tap_dir,
              "--checkpoint", ckpt,
              "--output-dir", os.path.join(args.root, "out_davis")],
+            results,
+        )
+    if "kinetics" in steps:
+        # same per-video pickle format as davis (generate_tapvid_kinetics
+        # writes the identical {'video','points','occluded'} records), so
+        # the TAP-Vid shard doubles as a Kinetics root — this exercises
+        # KINETICS_TEST_CFG (query-first protocol, kinetics bank sizing)
+        # through the CLI on chip
+        run_step(
+            "kinetics",
+            [py, "tools/test.py", "--task", "kinetics", "--data-root",
+             tap_dir, "--checkpoint", ckpt,
+             "--output-dir", os.path.join(args.root, "out_kinetics")],
             results,
         )
     if "vos" in steps:
@@ -272,6 +285,7 @@ def main():
     # includes compile on a cold cache; see per-step notes)
     for name, frames in (
         ("davis", args.scenes * args.frames),
+        ("kinetics", args.scenes * args.frames),
         ("vos", args.vos_scenes * args.vos_frames),
     ):
         if name in results and results[name]["returncode"] == 0:
